@@ -1,0 +1,101 @@
+"""Functional batch normalization with PyTorch-parity semantics.
+
+The reference model uses three BN shapes (all nn.BatchNorm defaults:
+momentum=0.1, eps=1e-5, affine, track_running_stats):
+
+- ``data_bn``: BatchNorm1d over M*V*C features, stats over (N, T)
+  (reference: model/shift_gcn.py:176, 196-198),
+- Shift_gcn ``bn``: BatchNorm1d over V*C_out features, stats over N*T
+  (reference: model/shift_gcn.py:99, 137),
+- Shift_tcn / residual-tcn BatchNorm2d over C, stats over (N, T, V)
+  (reference: model/shift_gcn.py:38, 55-56).
+
+PyTorch details replicated:
+- normalization uses *biased* batch variance,
+- running_var is updated with the *unbiased* variance (factor n/(n-1)),
+- running = (1 - momentum) * running + momentum * batch.
+
+`axis_name` enables cross-replica (sync) BN via psum — the TPU-native
+equivalent of what DataParallel does NOT do (the reference computes BN
+per-GPU); sync BN is therefore opt-in, with per-replica stats as the
+parity-default under data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BNParams = Dict[str, jax.Array]   # weight, bias (feature-shaped)
+BNState = Dict[str, jax.Array]    # running_mean, running_var, num_batches_tracked
+
+
+def init_bn(num_features: int, scale: float = 1.0) -> Tuple[BNParams, BNState]:
+    """BN params/state; scale matches reference bn_init (model/shift_gcn.py:26-28)."""
+    params = {
+        "weight": jnp.full((num_features,), scale, dtype=jnp.float32),
+        "bias": jnp.zeros((num_features,), dtype=jnp.float32),
+    }
+    state = {
+        "running_mean": jnp.zeros((num_features,), dtype=jnp.float32),
+        "running_var": jnp.ones((num_features,), dtype=jnp.float32),
+        "num_batches_tracked": jnp.zeros((), dtype=jnp.int32),
+    }
+    return params, state
+
+
+def batch_norm(
+    x: jax.Array,
+    params: BNParams,
+    state: BNState,
+    *,
+    reduce_axes: Sequence[int],
+    training: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, BNState]:
+    """Normalize x over `reduce_axes`; remaining axes form the feature shape.
+
+    `params`/`state` arrays are flat (num_features,) and are reshaped to the
+    feature shape implied by x and reduce_axes.
+
+    Returns (normalized x, new state). In eval mode state is passed through.
+    """
+    reduce_axes = tuple(sorted(a % x.ndim for a in reduce_axes))
+    feat_shape = tuple(
+        1 if a in reduce_axes else x.shape[a] for a in range(x.ndim))
+
+    def fs(arr: jax.Array) -> jax.Array:
+        return arr.reshape(feat_shape)
+
+    if training:
+        mean = jnp.mean(x, axis=reduce_axes, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes, keepdims=True)
+        n = 1
+        for a in reduce_axes:
+            n *= x.shape[a]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        var = mean_sq - jnp.square(mean)  # biased
+        unbiased = var * (n / max(n - 1, 1)) if isinstance(n, int) else (
+            var * (n / (n - 1)))
+        new_state = {
+            "running_mean": (1 - momentum) * state["running_mean"]
+            + momentum * mean.reshape(-1),
+            "running_var": (1 - momentum) * state["running_var"]
+            + momentum * unbiased.reshape(-1),
+            "num_batches_tracked": state["num_batches_tracked"] + 1,
+        }
+    else:
+        mean = fs(state["running_mean"])
+        var = fs(state["running_var"])
+        new_state = state
+
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x - mean) * inv * fs(params["weight"]) + fs(params["bias"])
+    return out, new_state

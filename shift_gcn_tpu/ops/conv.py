@@ -1,0 +1,73 @@
+"""Convolution helpers in channels-last layout with torch-shaped weights.
+
+Weights are stored exactly as torch state_dict entries — conv weight
+(C_out, C_in, kT, kV), bias (C_out,) — so converted reference checkpoints
+load without reshaping; the ops transpose internally for the TPU-friendly
+NHWC compute layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def pointwise_conv(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """1x1 conv as a matmul. x: (..., C_in); weight: (C_out, C_in, 1, 1) or
+    (C_out, C_in)."""
+    w = weight.reshape(weight.shape[0], weight.shape[1])  # (C_out, C_in)
+    h = x
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jnp.einsum("...c,dc->...d", h, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def temporal_conv(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    stride: int = 1,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """k x 1 temporal conv with SAME-style padding pad=(k-1)//2.
+
+    Matches the reference residual `tcn` (model/shift_gcn.py:31-45):
+    Conv2d(kernel=(k,1), padding=((k-1)//2, 0), stride=(s,1)) on (N,C,T,V).
+
+    Args:
+      x: (N, T, V, C_in).
+      weight: (C_out, C_in, k, 1) torch OIHW.
+    Returns:
+      (N, T_out, V, C_out) with T_out = floor((T + 2*pad - k)/s) + 1.
+    """
+    k = weight.shape[2]
+    pad = (k - 1) // 2
+    h = x
+    w = weight
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jax.lax.conv_general_dilated(
+        h,
+        w,
+        window_strides=(stride, 1),
+        padding=((pad, pad), (0, 0)),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out

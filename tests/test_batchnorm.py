@@ -1,0 +1,79 @@
+"""Batch norm vs torch.nn.BatchNorm1d/2d (training and eval, running stats)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from shift_gcn_tpu.ops import batch_norm, init_bn
+
+
+def test_bn2d_training_matches_torch():
+    rng = np.random.default_rng(0)
+    n, t, v, c = 4, 6, 5, 8
+    x = rng.standard_normal((n, t, v, c)).astype(np.float32)
+
+    ref = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        ref.weight.uniform_(0.5, 1.5)
+        ref.bias.uniform_(-0.5, 0.5)
+    ref.train()
+    # torch layout (N, C, T, V)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = ref(xt).detach().numpy().transpose(0, 2, 3, 1)
+
+    params, state = init_bn(c)
+    params = {
+        "weight": jnp.asarray(ref.weight.detach().numpy()),
+        "bias": jnp.asarray(ref.bias.detach().numpy()),
+    }
+    got, new_state = batch_norm(
+        jnp.asarray(x), params, state, reduce_axes=(0, 1, 2), training=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state["running_mean"]),
+        ref.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state["running_var"]),
+        ref.running_var.numpy(), atol=1e-5)
+
+
+def test_bn1d_eval_uses_running_stats():
+    rng = np.random.default_rng(1)
+    n, f = 16, 10
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    ref = torch.nn.BatchNorm1d(f)
+    with torch.no_grad():
+        ref.running_mean.uniform_(-1, 1)
+        ref.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+    want = ref(torch.from_numpy(x)).detach().numpy()
+
+    params, state = init_bn(f)
+    state = {
+        "running_mean": jnp.asarray(ref.running_mean.numpy()),
+        "running_var": jnp.asarray(ref.running_var.numpy()),
+        "num_batches_tracked": jnp.zeros((), jnp.int32),
+    }
+    got, out_state = batch_norm(
+        jnp.asarray(x), params, state, reduce_axes=(0,), training=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    assert out_state is state
+
+
+def test_bn_multi_step_running_stats_match_torch():
+    rng = np.random.default_rng(2)
+    f = 7
+    ref = torch.nn.BatchNorm1d(f)
+    ref.train()
+    params, state = init_bn(f)
+    for i in range(3):
+        x = rng.standard_normal((32, f)).astype(np.float32)
+        ref(torch.from_numpy(x))
+        _, state = batch_norm(
+            jnp.asarray(x), params, state, reduce_axes=(0,), training=True)
+    np.testing.assert_allclose(
+        np.asarray(state["running_mean"]), ref.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state["running_var"]), ref.running_var.numpy(), atol=1e-5)
+    assert int(state["num_batches_tracked"]) == 3

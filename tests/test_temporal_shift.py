@@ -1,0 +1,150 @@
+"""Temporal fractional shift vs a direct numpy re-implementation of the
+documented CUDA kernel semantics (shift_cuda_kernel.cu), including the
+non-gradient constraint backward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shift_gcn_tpu.ops import temporal_shift
+
+
+def _np_forward(x, xpos, ypos, stride):
+    """x: (N, T, V, C). Bilinear corner sum with zero out-of-range reads."""
+    n, t_in, v_in, c = x.shape
+    t_out = t_in // stride
+    out = np.zeros((n, t_out, v_in, c), dtype=x.dtype)
+    for ch in range(c):
+        xv, yv = xpos[ch], ypos[ch]
+        x1 = int(np.floor(xv)); x2 = x1 + 1
+        y1 = int(np.floor(yv)); y2 = y1 + 1
+        dx = xv - x1; dy = yv - y1
+        for t in range(t_out):
+            for v in range(v_in):
+                def q(ti, vi):
+                    if 0 <= ti < t_in and 0 <= vi < v_in:
+                        return x[:, ti, vi, ch]
+                    return 0.0
+                h = t * stride
+                out[:, t, v, ch] = (
+                    q(h + y1, v + x1) * (1 - dx) * (1 - dy)
+                    + q(h + y1, v + x2) * dx * (1 - dy)
+                    + q(h + y2, v + x1) * (1 - dx) * dy
+                    + q(h + y2, v + x2) * dx * dy)
+    return out
+
+
+def _np_grad_input(g, xpos, ypos, stride, t_in):
+    """Reverse shift with (-x,-y); stride-2 maps only even rows back."""
+    n, t_out, v_in, c = g.shape
+    out = np.zeros((n, t_in, v_in, c), dtype=g.dtype)
+    for ch in range(c):
+        xv, yv = -xpos[ch], -ypos[ch]
+        x1 = int(np.floor(xv)); x2 = x1 + 1
+        y1 = int(np.floor(yv)); y2 = y1 + 1
+        dx = xv - x1; dy = yv - y1
+        for h in range(t_in):
+            for w in range(v_in):
+                def q(ti, vi):
+                    if stride == 1:
+                        if 0 <= ti < t_out and 0 <= vi < v_in:
+                            return g[:, ti, vi, ch]
+                        return 0.0
+                    # stride 2: C++ `h_im % 2 == 0` evenness then truncate-div
+                    if ti % 2 != 0:
+                        return 0.0
+                    td = ti // 2  # even ti: floor == truncation
+                    if 0 <= td < t_out and 0 <= vi < v_in:
+                        return g[:, td, vi, ch]
+                    return 0.0
+                out[:, h, w, ch] = (
+                    q(h + y1, w + x1) * (1 - dx) * (1 - dy)
+                    + q(h + y1, w + x2) * dx * (1 - dy)
+                    + q(h + y2, w + x1) * (1 - dx) * dy
+                    + q(h + y2, w + x2) * dx * dy)
+    return out
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_forward_matches_numpy(stride):
+    rng = np.random.default_rng(0)
+    n, t, v, c = 2, 8, 5, 6
+    x = rng.standard_normal((n, t, v, c)).astype(np.float32)
+    xpos = rng.uniform(-1e-8, 1e-8, c).astype(np.float32)
+    ypos = rng.uniform(-1.5, 1.5, c).astype(np.float32)
+    ypos_eff = ypos if stride == 1 else ypos + 0.5
+    want = _np_forward(x, xpos, ypos_eff, stride)
+    got = np.asarray(temporal_shift(
+        jnp.asarray(x), jnp.asarray(xpos), jnp.asarray(ypos), stride))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_forward_integer_shift_is_exact_slice():
+    # ypos = 1.0 exactly shifts by one frame with zero padding at the end.
+    n, t, v, c = 1, 6, 3, 2
+    x = np.arange(n * t * v * c, dtype=np.float32).reshape(n, t, v, c)
+    ypos = np.ones(c, dtype=np.float32)
+    xpos = np.zeros(c, dtype=np.float32)
+    got = np.asarray(temporal_shift(
+        jnp.asarray(x), jnp.asarray(xpos), jnp.asarray(ypos), 1))
+    want = np.zeros_like(x)
+    want[:, :-1] = x[:, 1:]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_grad_input_matches_numpy(stride):
+    rng = np.random.default_rng(1)
+    n, t, v, c = 2, 8, 4, 3
+    x = rng.standard_normal((n, t, v, c)).astype(np.float32)
+    xpos = rng.uniform(-1e-8, 1e-8, c).astype(np.float32)
+    ypos = rng.uniform(-1.5, 1.5, c).astype(np.float32)
+    g = rng.standard_normal((n, t // stride, v, c)).astype(np.float32)
+
+    def f(xi):
+        return jnp.sum(temporal_shift(
+            xi, jnp.asarray(xpos), jnp.asarray(ypos), stride) * g)
+
+    grad_x = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    ypos_eff = ypos if stride == 1 else ypos + 0.5
+    want = _np_grad_input(g, xpos, ypos_eff, stride, t)
+    np.testing.assert_allclose(grad_x, want, atol=1e-5)
+
+
+def test_position_grads_follow_constraint():
+    rng = np.random.default_rng(2)
+    n, t, v, c = 2, 8, 4, 5
+    x = rng.standard_normal((n, t, v, c)).astype(np.float32)
+    xpos = rng.uniform(-1e-8, 1e-8, c).astype(np.float32)
+    ypos = rng.uniform(-1.5, 1.5, c).astype(np.float32)
+    g = rng.standard_normal((n, t, v, c)).astype(np.float32)
+
+    def f(xp, yp):
+        return jnp.sum(temporal_shift(jnp.asarray(x), xp, yp, 1) * g)
+
+    gx, gy = jax.grad(f, argnums=(0, 1))(jnp.asarray(xpos), jnp.asarray(ypos))
+    gx, gy = np.asarray(gx), np.asarray(gy)
+    np.testing.assert_array_equal(gx, np.zeros_like(gx))
+    # every |gy| is exactly 0.01 (generic data never yields exact zero raw grad)
+    np.testing.assert_allclose(np.abs(gy), np.full_like(gy, 0.01), atol=1e-9)
+
+
+def test_position_grad_zero_input_gives_epsilon_step():
+    # All-zero input and cotangent -> raw gy == 0 -> constraint emits 1e-4.
+    c = 3
+    x = jnp.zeros((1, 4, 2, c))
+    xpos = jnp.zeros(c)
+    ypos = jnp.zeros(c)
+
+    def f(yp):
+        return jnp.sum(temporal_shift(x, xpos, yp, 1))
+
+    gy = np.asarray(jax.grad(f)(ypos))
+    np.testing.assert_allclose(gy, np.full(c, 1e-4), atol=1e-12)
+
+
+def test_stride2_halves_time():
+    x = jnp.ones((1, 10, 3, 2))
+    out = temporal_shift(x, jnp.zeros(2), jnp.zeros(2), 2)
+    assert out.shape == (1, 5, 3, 2)
