@@ -1,0 +1,268 @@
+"""End-to-end video fall-detection inference pipeline.
+
+TPU-native rebuild of reference inference_pipeline.py:574-670: video ->
+pose landmarks -> pre-normalized sliding windows -> on-the-fly 4-modality
+derivation -> 4-model ensembled logits -> per-frame score aggregation ->
+threshold interval detection -> JSON report (optional annotated video).
+
+Differences by design:
+- pose extraction goes through the pluggable PoseBackend (MediaPipe is
+  optional; raw landmark arrays can be fed directly via `run_on_landmarks`),
+- all windows and all four modalities are batched into ONE jitted forward
+  per model (the reference loops windows/modalities in Python per forward),
+- model weights are Orbax checkpoints (reference .pt auto-import supported).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shift_gcn_tpu.data.modalities import derive_modalities
+from shift_gcn_tpu.data.preprocess import pre_normalization
+from shift_gcn_tpu.graphs import get_graph
+from shift_gcn_tpu.models.shift_gcn import ModelConfig
+
+MODALITY_ORDER = ("joint", "bone", "joint_motion", "bone_motion")
+DEFAULT_ALPHA = (0.6, 0.6, 0.4, 0.4)
+
+
+def create_sliding_windows(
+    data: np.ndarray, window: int = 300, stride: int = 150
+) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """(C, T, V, M) raw sequence -> stacked zero-padded windows + spans.
+
+    Matches reference inference_pipeline.py:252-281: windows start every
+    `stride` frames; a final short window is zero-padded; sequences shorter
+    than `window` yield a single padded window.
+    """
+    c, t, v, m = data.shape
+    starts = list(range(0, max(t - window, 0) + 1, stride))
+    if not starts:
+        starts = [0]
+    elif starts[-1] + window < t:
+        starts.append(t - window)
+    windows = []
+    spans = []
+    for s in starts:
+        w = np.zeros((c, window, v, m), dtype=np.float32)
+        seg = data[:, s:s + window]
+        w[:, :seg.shape[1]] = seg
+        windows.append(w)
+        spans.append((s, min(s + window, t)))
+    return np.stack(windows), spans
+
+
+def aggregate_per_frame(
+    window_scores: np.ndarray, spans: Sequence[Tuple[int, int]],
+    total_frames: int
+) -> np.ndarray:
+    """Average overlapping window probabilities into per-frame scores
+    (reference: inference_pipeline.py:377-386)."""
+    acc = np.zeros(total_frames, dtype=np.float64)
+    cnt = np.zeros(total_frames, dtype=np.float64)
+    for p, (s, e) in zip(window_scores, spans):
+        acc[s:e] += p
+        cnt[s:e] += 1
+    return np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0)
+
+
+@dataclasses.dataclass
+class FallInterval:
+    start_frame: int
+    end_frame: int
+    peak_prob: float
+    mean_prob: float
+
+
+def detect_fall_intervals(
+    frame_probs: np.ndarray, threshold: float = 0.5,
+    min_length: int = 1
+) -> List[FallInterval]:
+    """Threshold-crossing regions with peak statistics
+    (reference: inference_pipeline.py:389-424)."""
+    above = frame_probs >= threshold
+    intervals: List[FallInterval] = []
+    start = None
+    for i, flag in enumerate(above):
+        if flag and start is None:
+            start = i
+        elif not flag and start is not None:
+            if i - start >= min_length:
+                seg = frame_probs[start:i]
+                intervals.append(FallInterval(
+                    start, i - 1, float(seg.max()), float(seg.mean())))
+            start = None
+    if start is not None and len(above) - start >= min_length:
+        seg = frame_probs[start:]
+        intervals.append(FallInterval(
+            start, len(above) - 1, float(seg.max()), float(seg.mean())))
+    return intervals
+
+
+class EnsemblePredictor:
+    """Four-stream ensemble forward over batched windows."""
+
+    def __init__(
+        self,
+        checkpoints: Dict[str, str],
+        model_config: Optional[ModelConfig] = None,
+        alpha: Sequence[float] = DEFAULT_ALPHA,
+        graph: str = "mediapipe_pose",
+    ):
+        self.config = model_config or ModelConfig(
+            num_class=2, num_point=33, num_person=1, graph=graph)
+        self.graph = get_graph(self.config.graph)
+        self.alpha = dict(zip(MODALITY_ORDER, alpha))
+        self._models = {}
+        for modality, path in checkpoints.items():
+            if modality not in MODALITY_ORDER:
+                raise KeyError(f"unknown modality {modality!r}")
+            self._models[modality] = self._load(path)
+        self._forward = jax.jit(self._forward_impl)
+
+    def _load(self, path: str):
+        from shift_gcn_tpu.models.shift_gcn import init_params
+        from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+        params, state = init_params(jax.random.key(0), self.config)
+        if path.endswith((".pt", ".pkl", ".pth")):
+            p_np, s_np, _ = ckpt_lib.load_reference_checkpoint(path)
+            params = jax.tree_util.tree_map(jnp.asarray, p_np)
+            state = jax.tree_util.tree_map(jnp.asarray, s_np)
+        else:
+            import jax.numpy as jnp2  # noqa: F401
+            from shift_gcn_tpu.train.optim import init_sgd
+
+            if os.path.isdir(path) and not os.path.basename(path).isdigit():
+                latest = ckpt_lib.latest_checkpoint(path)
+                if latest is None:
+                    raise FileNotFoundError(f"no checkpoints under {path}")
+                path = latest
+            template = {
+                "params": params, "bn_state": state,
+                "opt_state": init_sgd(params),
+                "global_step": jnp.zeros((), jnp.int32),
+                "meta": {"epoch": 0, "best_acc": 0.0},
+            }
+            payload = ckpt_lib.restore_checkpoint(path, template)
+            params, state = payload["params"], payload["bn_state"]
+        return params, state
+
+    def _forward_impl(self, models, windows_by_modality):
+        from shift_gcn_tpu.models.shift_gcn import apply
+
+        total = None
+        for modality in MODALITY_ORDER:
+            if modality not in models:
+                continue
+            params, state = models[modality]
+            logits, _ = apply(params, state, windows_by_modality[modality],
+                              self.config, training=False)
+            weighted = logits * self.alpha[modality]
+            total = weighted if total is None else total + weighted
+        return jax.nn.softmax(total, axis=-1)
+
+    def predict(self, windows: np.ndarray) -> np.ndarray:
+        """windows: (W, C, T, V, M) pre-normalized joint windows ->
+        (W, num_class) ensembled probabilities."""
+        mods = derive_modalities(windows, self.graph)
+        batch = {k: jnp.asarray(v) for k, v in mods.items()
+                 if k in self._models}
+        return np.asarray(self._forward(self._models, batch))
+
+
+def run_on_landmarks(
+    landmarks: np.ndarray,
+    predictor: EnsemblePredictor,
+    *,
+    window: int = 300,
+    stride: int = 150,
+    threshold: float = 0.5,
+) -> Dict:
+    """Landmarks (3, T, 33, 1) -> fall report dict (no video decode)."""
+    total_frames = landmarks.shape[1]
+    windows, spans = create_sliding_windows(landmarks, window, stride)
+    batch = pre_normalization(
+        windows.copy(),
+        zaxis=predictor.graph.zaxis, xaxis=predictor.graph.xaxis,
+        center_joint=list(predictor.graph.center_joint))
+    probs = predictor.predict(batch)
+    fall_probs = probs[:, 1]
+    frame_probs = aggregate_per_frame(fall_probs, spans, total_frames)
+    intervals = detect_fall_intervals(frame_probs, threshold)
+    return {
+        "total_frames": int(total_frames),
+        "num_windows": int(len(spans)),
+        "fall_detected": bool(intervals),
+        "max_fall_probability": float(frame_probs.max())
+        if total_frames else 0.0,
+        "fall_intervals": [dataclasses.asdict(iv) for iv in intervals],
+        "frame_probabilities": frame_probs.tolist(),
+    }
+
+
+def run_pipeline(
+    video_path: str,
+    checkpoints: Dict[str, str],
+    *,
+    output_json: Optional[str] = None,
+    window: int = 300,
+    stride: int = 150,
+    threshold: float = 0.5,
+    pose_backend: str = "mediapipe",
+    max_frames: int = 100000,
+) -> Dict:
+    """Full video -> report (reference: run_pipeline,
+    inference_pipeline.py:574-670)."""
+    from shift_gcn_tpu.data.gendata.mediapipe import get_backend
+
+    backend = get_backend(pose_backend)
+    landmarks = backend(video_path, max_frames)
+    if landmarks is None:
+        raise RuntimeError(f"no pose could be extracted from {video_path}")
+    predictor = EnsemblePredictor(checkpoints)
+    report = run_on_landmarks(
+        landmarks, predictor, window=window, stride=stride,
+        threshold=threshold)
+    report["video"] = os.path.basename(video_path)
+    if output_json:
+        with open(output_json, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="fall-detection inference")
+    parser.add_argument("--video", required=True)
+    parser.add_argument("--joint", required=True)
+    parser.add_argument("--bone", default=None)
+    parser.add_argument("--joint-motion", default=None)
+    parser.add_argument("--bone-motion", default=None)
+    parser.add_argument("--output", default="results.json")
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--window", type=int, default=300)
+    parser.add_argument("--stride", type=int, default=150)
+    args = parser.parse_args(argv)
+    ckpts = {"joint": args.joint}
+    for key in ("bone", "joint_motion", "bone_motion"):
+        val = getattr(args, key)
+        if val:
+            ckpts[key] = val
+    report = run_pipeline(
+        args.video, ckpts, output_json=args.output,
+        window=args.window, stride=args.stride, threshold=args.threshold)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "frame_probabilities"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,21 +12,30 @@ Forward (shift_cuda_kernel.cu:11-76): per channel c, with shift positions
 
 When stride != 1 the wrapper adds +0.5 to ypos first (shift.py:17-19).
 
-Backward — deliberately NOT the true gradient:
-- grad_input reverses the shift with (-x, -y) bilinear weights
-  (shift_cuda_kernel.cu:78-152); for stride 2 only even target rows map back
-  (shift_cuda_kernel.cu:155-256).
-- position grads are first computed from bilinear corner differences x
-  grad_output, reduced mean-over-batch then sum-over-(T,V)
-  (shift_cuda_kernel.cu:277-363, 501-509), then OVERWRITTEN by a constraint
-  (shift_cuda_kernel.cu:370-395):
+TPU-native formulation: bilinear interpolation with per-channel scalar
+offsets is exactly a **depthwise 2D convolution** whose taps are hat
+functions of the offsets:
 
-      if |gy| != 0:  gx := 0,  gy := 0.01 * sign(gy)
-      else:          gx := 0,  gy := 0.0001
+    out[t, v, c] = sum_{k, j} hat(y_c - k) * hat(x_c - j) * x[t*s + k, v + j, c]
 
-  so xpos never trains and ypos moves in fixed-magnitude steps.  This is
-  load-bearing for training parity and is reproduced exactly via
-  `jax.custom_vjp`.
+with hat(d) = max(0, 1 - |d|).  A depthwise conv maps cleanly onto the TPU
+(dense, fusable, no per-channel gathers — gathers with channel-varying time
+indices forced XLA into transposed megabyte temps and OOM'd HBM).  The tap
+range k in [-K, K+1] is static; K = MAX_SHIFT bounds |ypos| (the positions
+move in fixed 0.01 steps — see backward — so K=8 covers any practical
+training run; assert_in_range() lets the trainer check).
+
+Backward — deliberately NOT the true gradient (reference
+shift_cuda_kernel.cu:370-395):
+- grad_input IS the true conv VJP (the reference's reverse-shift kernels at
+  cu:78-256 compute exactly the transposed convolution; verified in tests),
+- position "grads" are overwritten by a constraint: grad_x := 0,
+  grad_y := 0.01 * sign(gy_raw), or 1e-4 when gy_raw == 0, where gy_raw is
+  the corner-difference inner product reduced mean-over-batch then
+  sum-over-(T,V) (cu:277-363, 501-509).  Only the sign of gy_raw matters;
+  it is computed with a cheap 2-tap difference conv.  So xpos never trains
+  and ypos moves in fixed-magnitude steps — load-bearing for parity and
+  reproduced exactly via jax.custom_vjp.
 
 Layout: channels-last (N, T, V, C); the reference uses (N, C, T=H, V=W).
 """
@@ -34,151 +43,122 @@ Layout: channels-last (N, T, V, C); the reference uses (N, C, T=H, V=W).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+# Static temporal tap radius: taps k in [-MAX_SHIFT, MAX_SHIFT + 1].
+# Exact as long as ypos stays in [-MAX_SHIFT, MAX_SHIFT] (checked by
+# assert_in_range); xpos taps are fixed to {-1, 0, 1} since xpos receives
+# zero gradient (constraint) and only shrinks under weight decay.
+MAX_SHIFT = 8
 
-def _corner_weights(pos: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """floor index, fractional part, per-channel. pos: (C,) float."""
-    p1 = jnp.floor(pos)
-    return p1.astype(jnp.int32), pos - p1, p1
+
+def _hat_taps(pos: jax.Array, lo: int, hi: int) -> jax.Array:
+    """(Q, C) interpolation taps: tap[q, c] = max(0, 1 - |pos[c] - (lo+q)|)."""
+    k = jnp.arange(lo, hi + 1, dtype=pos.dtype)[:, None]     # (Q, 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - k))  # (Q, C)
 
 
-def _gather_tv(x: jax.Array, tidx: jax.Array, vidx: jax.Array) -> jax.Array:
-    """Gather x[n, tidx[t,c], vidx[v,c], c] with zero padding out of range.
+def _floor_taps(pos: jax.Array, lo: int, hi: int) -> jax.Array:
+    """(Q, C) difference taps: -1 at floor(pos), +1 at floor(pos)+1.
 
-    x: (N, T, V, C); tidx: (T_out, C) int32; vidx: (V, C) int32.
-    Returns (N, T_out, V, C).
+    Implements the reference position-gradient corner difference
+    (shift_cuda_kernel.cu:343-344): d(out)/dy = x[t+y1+1] - x[t+y1],
+    using floor semantics (right-derivative at integer pos).
+    """
+    k = jnp.arange(lo, hi + 1, dtype=jnp.int32)[:, None]
+    p1 = jnp.floor(pos).astype(jnp.int32)[None, :]
+    return (k == p1 + 1).astype(pos.dtype) - (k == p1).astype(pos.dtype)
+
+
+def _shift_conv_dw(
+    x: jax.Array,
+    taps_t: jax.Array,
+    taps_v: jax.Array,
+    stride: int,
+    t_lo: int,
+) -> jax.Array:
+    """Depthwise conv over (T, V) with per-channel separable taps.
+
+    x: (N, T, V, C); taps_t: (Qt, C); taps_v: (Qv, C) with v taps anchored
+    at -1.  Tap k=t_lo+q reads x[t*stride + k].
     """
     n, t_in, v_in, c = x.shape
-    t_ok = (tidx >= 0) & (tidx < t_in)          # (T_out, C)
-    v_ok = (vidx >= 0) & (vidx < v_in)          # (V, C)
-    tc = jnp.clip(tidx, 0, t_in - 1)
-    vc = jnp.clip(vidx, 0, v_in - 1)
-    g = jnp.take_along_axis(x, tc[None, :, None, :], axis=1)
-    g = jnp.take_along_axis(g, vc[None, None, :, :], axis=2)
-    mask = t_ok[None, :, None, :] & v_ok[None, None, :, :]
-    return jnp.where(mask, g, 0.0)
-
-
-def _bilinear_apply(
-    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int
-) -> jax.Array:
-    """Forward bilinear shift: x (N,T,V,C) -> (N, T//stride, V, C)."""
-    n, t_in, v_in, c = x.shape
+    qt = taps_t.shape[0]
+    qv = taps_v.shape[0]
     t_out = t_in // stride
-    x1, dx, _ = _corner_weights(xpos)
-    y1, dy, _ = _corner_weights(ypos)
-
-    t_base = jnp.arange(t_out, dtype=jnp.int32)[:, None] * stride  # (T_out,1)
-    v_base = jnp.arange(v_in, dtype=jnp.int32)[:, None]            # (V,1)
-    t1 = t_base + y1[None, :]
-    t2 = t1 + 1
-    v1 = v_base + x1[None, :]
-    v2 = v1 + 1
-
-    q11 = _gather_tv(x, t1, v1)
-    q21 = _gather_tv(x, t1, v2)
-    q12 = _gather_tv(x, t2, v1)
-    q22 = _gather_tv(x, t2, v2)
-
-    dx = dx[None, None, None, :]
-    dy = dy[None, None, None, :]
-    return (q11 * (1 - dx) * (1 - dy) + q21 * dx * (1 - dy)
-            + q12 * (1 - dx) * dy + q22 * dx * dy)
+    kernel = (taps_t[:, None, None, :] * taps_v[None, :, None, :]).astype(
+        x.dtype)  # (Qt, Qv, 1, C)
+    pad_t_lo = -t_lo
+    pad_t_hi = (t_out - 1) * stride + qt + t_lo - t_in
+    pad_v = 1  # v taps are {-1, 0, 1}
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, 1),
+        padding=((pad_t_lo, pad_t_hi), (pad_v, pad_v)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
 
 
-def _grad_input_stride1(
-    g: jax.Array, xpos: jax.Array, ypos: jax.Array
+def _shift_conv_slices(
+    x: jax.Array,
+    taps_t: jax.Array,
+    taps_v: jax.Array,
+    stride: int,
+    t_lo: int,
 ) -> jax.Array:
-    """Reverse shift of grad_output with (-x, -y) (shift_cuda_kernel.cu:78-152)."""
-    return _bilinear_apply(g, -xpos, -ypos, stride=1)
+    """Same contraction as `_shift_conv_dw` via explicit shifted-slice FMAs.
 
-
-def _grad_input_strided(
-    g: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int, t_in: int
-) -> jax.Array:
-    """Strided reverse shift (shift_cuda_kernel.cu:155-256).
-
-    For each input row h, corner rows h+floor(-y)+{0,1} contribute only when
-    divisible by the stride, reading grad_output at the divided row.
-    g: (N, T_out, V, C) -> (N, t_in, V, C).
-    """
-    n, t_out, v_in, c = g.shape
-    x1, dx, _ = _corner_weights(-xpos)
-    y1, dy, _ = _corner_weights(-ypos)
-
-    t_base = jnp.arange(t_in, dtype=jnp.int32)[:, None]   # (T_in, 1)
-    v_base = jnp.arange(v_in, dtype=jnp.int32)[:, None]   # (V, 1)
-    v_lo = v_base + x1[None, :]
-    v_hi = v_lo + 1
-
-    def corner(t_im: jax.Array, vidx: jax.Array) -> jax.Array:
-        # t_im: (T_in, C) candidate rows in grad_output*stride space.
-        even = (t_im % stride) == 0
-        t_div = t_im // stride
-        valid = even & (t_div >= 0) & (t_div < t_out)
-        t_safe = jnp.clip(t_div, 0, t_out - 1)
-        got = _gather_tv(g, t_safe, vidx)
-        return jnp.where(valid[None, :, None, :], got, 0.0)
-
-    t_lo = t_base + y1[None, :]
-    t_hi = t_lo + 1
-    q11 = corner(t_lo, v_lo)
-    q21 = corner(t_lo, v_hi)
-    q12 = corner(t_hi, v_lo)
-    q22 = corner(t_hi, v_hi)
-
-    dx = dx[None, None, None, :]
-    dy = dy[None, None, None, :]
-    return (q11 * (1 - dx) * (1 - dy) + q21 * dx * (1 - dy)
-            + q12 * (1 - dx) * dy + q22 * dx * dy)
-
-
-def _position_grads(
-    x: jax.Array, g: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Raw per-channel position grads before the constraint.
-
-    val_x = (1-dy)(q21-q11) + dy(q22-q12); val_y = (1-dx)(q12-q11)+dx(q22-q21)
-    reduced mean over batch then sum over (T_out, V)
-    (shift_cuda_kernel.cu:343-349, 501-509).
+    Separable: first the 3-tap joint-axis pass, then the Qt-tap temporal
+    pass over strided slices of the zero-padded input.  Every term is an
+    elementwise multiply-add that XLA fuses into a single pass — no conv op
+    in the graph (robust where the depthwise-conv lowering is fragile, and
+    bandwidth-equivalent after fusion).
     """
     n, t_in, v_in, c = x.shape
+    qt = taps_t.shape[0]
     t_out = t_in // stride
-    x1, dx, _ = _corner_weights(xpos)
-    y1, dy, _ = _corner_weights(ypos)
-    t_base = jnp.arange(t_out, dtype=jnp.int32)[:, None] * stride
-    v_base = jnp.arange(v_in, dtype=jnp.int32)[:, None]
-    t1 = t_base + y1[None, :]
-    t2 = t1 + 1
-    v1 = v_base + x1[None, :]
-    v2 = v1 + 1
-    q11 = _gather_tv(x, t1, v1)
-    q21 = _gather_tv(x, t1, v2)
-    q12 = _gather_tv(x, t2, v1)
-    q22 = _gather_tv(x, t2, v2)
-    dxb = dx[None, None, None, :]
-    dyb = dy[None, None, None, :]
-    val_x = (1 - dyb) * (q21 - q11) + dyb * (q22 - q12)
-    val_y = (1 - dxb) * (q12 - q11) + dxb * (q22 - q21)
-    # mean over batch, then sum over T_out and V
-    gx = jnp.sum(jnp.mean(val_x * g, axis=0), axis=(0, 1))
-    gy = jnp.sum(jnp.mean(val_y * g, axis=0), axis=(0, 1))
-    return gx, gy
+
+    # joint-axis pass: taps anchored at {-1, 0, +1}
+    xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    h = sum(
+        jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
+        for j in range(taps_v.shape[0]))
+
+    # temporal pass: tap q reads h[t*stride + t_lo + q]
+    pad_lo = -t_lo
+    pad_hi = max((t_out - 1) * stride + qt + t_lo - t_in, 0)
+    hp = jnp.pad(h, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
+    out = None
+    for q in range(qt):
+        sl = jax.lax.slice(
+            hp, (0, q, 0, 0),
+            (n, q + (t_out - 1) * stride + 1, v_in, c),
+            (1, stride, 1, 1))
+        term = sl * taps_t[q]
+        out = term if out is None else out + term
+    return out
 
 
-def _apply_constraint(
-    gx: jax.Array, gy: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """Overwrite position grads with fixed-magnitude steps
-    (shift_cuda_kernel.cu:370-395)."""
-    dr = jnp.abs(gy)
-    gx_out = jnp.zeros_like(gx)
-    gy_out = jnp.where(dr != 0, gy / jnp.where(dr != 0, dr, 1.0) * 0.01, 1e-4)
-    return gx_out, gy_out
+def _shift_conv(x, taps_t, taps_v, stride, t_lo):
+    import os
+
+    impl = os.environ.get("SGT_TSHIFT_IMPL", "slice")
+    if impl == "conv":
+        return _shift_conv_dw(x, taps_t, taps_v, stride, t_lo)
+    return _shift_conv_slices(x, taps_t, taps_v, stride, t_lo)
+
+
+def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
+             stride: int) -> jax.Array:
+    taps_t = _hat_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
+    taps_v = _hat_taps(xpos, -1, 1)
+    return _shift_conv(x, taps_t, taps_v, stride, -MAX_SHIFT)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -190,7 +170,7 @@ def temporal_shift(
     Args:
       x: (N, T, V, C) input.
       xpos: (C,) per-channel joint-axis shift (effectively ~0 in practice).
-      ypos: (C,) per-channel temporal shift.
+      ypos: (C,) per-channel temporal shift, |ypos| <= MAX_SHIFT.
       stride: temporal stride (output T = T // stride). For stride != 1 the
         effective ypos is ypos + 0.5 (reference shift.py:17-19).
 
@@ -198,23 +178,36 @@ def temporal_shift(
       (N, T // stride, V, C).
     """
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _bilinear_apply(x, xpos, ypos_eff, stride)
+    return _forward(x, xpos, ypos_eff, stride)
 
 
 def _temporal_shift_fwd(x, xpos, ypos, stride):
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    out = _bilinear_apply(x, xpos, ypos_eff, stride)
+    out = _forward(x, xpos, ypos_eff, stride)
     return out, (x, xpos, ypos_eff)
 
 
 def _temporal_shift_bwd(stride, residuals, g):
     x, xpos, ypos_eff = residuals
-    if stride == 1:
-        grad_input = _grad_input_stride1(g, xpos, ypos_eff)
-    else:
-        grad_input = _grad_input_strided(g, xpos, ypos_eff, stride, x.shape[1])
-    gx_raw, gy_raw = _position_grads(x, g, xpos, ypos_eff, stride)
-    gx, gy = _apply_constraint(gx_raw, gy_raw)
+
+    # grad_input: true VJP of the depthwise conv w.r.t. x (the reference's
+    # reverse-shift kernels compute exactly this transposed conv).
+    _, vjp_fn = jax.vjp(lambda xx: _forward(xx, xpos, ypos_eff, stride), x)
+    grad_input, = vjp_fn(g)
+
+    # raw position grad along y: corner-difference conv then
+    # mean-over-batch, sum-over-(T, V) (cu:343-349, 501-509).
+    dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
+    taps_v = _hat_taps(xpos, -1, 1)
+    dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)
+    gy_raw = jnp.sum(jnp.mean(dval_y * g, axis=0), axis=(0, 1))
+
+    # constraint (cu:370-395): fixed-magnitude steps, xpos frozen.
+    dr = jnp.abs(gy_raw)
+    gy = jnp.where(dr != 0,
+                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
+                   1e-4)
+    gx = jnp.zeros_like(xpos)
     return grad_input, gx, gy
 
 
@@ -226,4 +219,15 @@ def temporal_shift_inference(
 ) -> jax.Array:
     """Forward-only path without the custom VJP plumbing (identical output)."""
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _bilinear_apply(x, xpos, ypos_eff, stride)
+    return _forward(x, xpos, ypos_eff, stride)
+
+
+def assert_in_range(ypos, name: str = "ypos") -> None:
+    """Host-side check that shift positions stay within the static tap range."""
+    import numpy as np
+
+    m = float(np.max(np.abs(np.asarray(ypos))))
+    if m > MAX_SHIFT - 0.5:
+        raise ValueError(
+            f"{name} magnitude {m:.2f} approaches the static tap radius "
+            f"MAX_SHIFT={MAX_SHIFT}; increase MAX_SHIFT for this run")

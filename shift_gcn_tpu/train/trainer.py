@@ -1,0 +1,343 @@
+"""Trainer — the reference Processor (main.py:172-546) rebuilt TPU-native.
+
+Differences from the reference by design:
+- train/eval steps are jit-compiled pure functions sharded over a device
+  mesh (data parallelism via sharding annotations; XLA emits the gradient
+  all-reduce) instead of nn.DataParallel scatter/gather,
+- checkpoints are Orbax pytrees {params, bn_state, opt momentum, metadata}
+  instead of torch .pt (a converter imports reference .pt files),
+- the input pipeline is the host-side prefetching BatchIterator.
+
+Behavioral parity preserved: per-epoch step-decay LR with warmup
+(main.py:342-353), per-parameter weight-decay table (main.py:307-317),
+epoch cadence of save/eval, best-accuracy score pickles consumed by the
+ensemble tools (main.py:493-515), wrong/right prediction files in test
+phase (main.py:534-546).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+from shift_gcn_tpu.models import shift_gcn
+from shift_gcn_tpu.parallel import mesh as mesh_lib
+from shift_gcn_tpu.train import config as config_lib
+from shift_gcn_tpu.train import state as state_lib
+from shift_gcn_tpu.train.optim import build_weight_decay_tree, step_decay_lr
+from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+from shift_gcn_tpu.utils.logging import RunLogger
+
+
+class Trainer:
+    def __init__(self, cfg: config_lib.ExperimentConfig):
+        self.cfg = cfg
+        self.work_dir = cfg.resolved_work_dir()
+        self.save_dir = cfg.resolved_save_dir()
+        self.logger = RunLogger(self.work_dir, to_file=cfg.print_log)
+        os.makedirs(os.path.join(self.work_dir, "eval_results"),
+                    exist_ok=True)
+        config_lib.save_config(cfg, os.path.join(self.work_dir,
+                                                 "config.yaml"))
+
+        if cfg.phase == "train" and cfg.overwrite:
+            self._cleanup_previous_run()
+
+        self.model_config = shift_gcn.config_from_reference_args(
+            cfg.model_args)
+        if cfg.compute_dtype:
+            import dataclasses
+            self.model_config = dataclasses.replace(
+                self.model_config, compute_dtype=cfg.compute_dtype)
+
+        self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+        data_axis = self.mesh.shape["data"]
+        for name, bs in (("batch_size", cfg.batch_size),
+                         ("test_batch_size", cfg.test_batch_size)):
+            if bs % data_axis != 0:
+                raise ValueError(
+                    f"{name}={bs} must be divisible by the data mesh axis "
+                    f"({data_axis} devices)")
+        self.state = state_lib.create_train_state(
+            jax.random.key(cfg.seed), self.model_config)
+        self.wd_tree = build_weight_decay_tree(self.state.params)
+        self.best_acc = 0.0
+        self.start_epoch = cfg.start_epoch
+
+        if cfg.weights:
+            self._load_weights(cfg.weights, cfg.ignore_weights)
+        if cfg.resume:
+            self._resume(cfg.resume)
+
+        self._build_steps()
+        self._load_data()
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def _cleanup_previous_run(self) -> None:
+        # reference: main.py:183-206 — remove stale checkpoints/eval pkls
+        resume_abs = (os.path.abspath(self.cfg.resume)
+                      if self.cfg.resume else None)
+        for path in glob.glob(os.path.join(self.save_dir, "*")):
+            if resume_abs and os.path.abspath(path) == resume_abs:
+                continue
+            if os.path.isdir(path):
+                import shutil
+                shutil.rmtree(path)
+        for pkl in glob.glob(os.path.join(self.work_dir, "eval_results",
+                                          "*.pkl")):
+            os.remove(pkl)
+
+    def _build_steps(self) -> None:
+        train_step = state_lib.make_train_step(
+            self.model_config, self.wd_tree)
+        eval_step = state_lib.make_eval_step(self.model_config)
+        donate = (0,) if self.cfg.donate_state else ()
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step = jax.jit(eval_step)
+
+    def _load_data(self) -> None:
+        cfg = self.cfg
+        host_id = jax.process_index()
+        num_hosts = jax.process_count()
+        self.feeders: Dict[str, Feeder] = {}
+        self.iterators: Dict[str, BatchIterator] = {}
+        if cfg.phase == "train":
+            self.feeders["train"] = Feeder(**cfg.train_feeder_args)
+            self.iterators["train"] = BatchIterator(
+                self.feeders["train"], cfg.batch_size, shuffle=True,
+                drop_last=True, seed=cfg.seed, host_id=host_id,
+                num_hosts=num_hosts)
+        self.feeders["test"] = Feeder(**cfg.test_feeder_args)
+        self.iterators["test"] = BatchIterator(
+            self.feeders["test"], cfg.test_batch_size, shuffle=False,
+            drop_last=False, seed=cfg.seed, host_id=host_id,
+            num_hosts=num_hosts)
+
+    def _load_weights(self, path: str, ignore: Optional[list] = None) -> None:
+        """Load model weights from an Orbax checkpoint dir or a reference
+        torch .pt/.pkl (main.py:261-292)."""
+        self.logger.log(f"Load weights from {path}.")
+        if path.endswith((".pt", ".pkl", ".pth")):
+            params, bn_state, _ = ckpt_lib.load_reference_checkpoint(path)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+            merged_p = _merge_trees(self.state.params, params,
+                                    ignore or [], self.logger)
+            merged_s = _merge_trees(self.state.bn_state, bn_state, [],
+                                    self.logger)
+            self.state = self.state._replace(params=merged_p,
+                                             bn_state=merged_s)
+        else:
+            payload = ckpt_lib.restore_checkpoint(
+                path, {"params": self.state.params,
+                       "bn_state": self.state.bn_state})
+            self.state = self.state._replace(
+                params=payload["params"], bn_state=payload["bn_state"])
+
+    def _resume(self, path: str) -> None:
+        # reference: main.py:215-229
+        self.logger.log(f"Resuming from checkpoint: {path}")
+        template = {
+            "params": self.state.params,
+            "bn_state": self.state.bn_state,
+            "opt_state": self.state.opt_state,
+            "global_step": self.state.global_step,
+            "meta": {"epoch": 0, "best_acc": 0.0},
+        }
+        payload = ckpt_lib.restore_checkpoint(path, template)
+        self.state = state_lib.TrainState(
+            params=payload["params"],
+            bn_state=payload["bn_state"],
+            opt_state=payload["opt_state"],
+            global_step=payload["global_step"],
+        )
+        self.start_epoch = int(payload["meta"]["epoch"]) + 1
+        self.best_acc = float(payload["meta"]["best_acc"])
+        self.logger.log(
+            f"  Resumed: epoch={self.start_epoch}, "
+            f"global_step={int(self.state.global_step)}, "
+            f"best_acc={self.best_acc:.4f}")
+
+    # ------------------------------------------------------------------
+    # phases
+    # ------------------------------------------------------------------
+
+    def start(self) -> float:
+        cfg = self.cfg
+        if cfg.phase == "train":
+            self.logger.log(f"Parameters:\n{cfg}\n")
+            for epoch in range(self.start_epoch, cfg.num_epoch):
+                is_last = epoch + 1 == cfg.num_epoch
+                self.train_epoch(epoch)
+                if is_last or (epoch + 1) % cfg.save_interval == 0:
+                    self.save(epoch)
+                if is_last or (epoch + 1) % cfg.eval_interval == 0:
+                    self.evaluate(epoch)
+            self.logger.log(
+                f"best accuracy: {self.best_acc} "
+                f"model_name: {self.save_dir}")
+        elif cfg.phase == "test":
+            if cfg.weights is None:
+                raise ValueError("Please appoint --weights.")
+            wrong_file = result_file = None
+            if not cfg.test_feeder_args.get("debug", False):
+                wrong_file = os.path.join(self.work_dir, "wrong.txt")
+                result_file = os.path.join(self.work_dir, "right.txt")
+            self.logger.log(f"Model:   {cfg.model}.")
+            self.logger.log(f"Weights: {cfg.weights}.")
+            self.evaluate(0, wrong_file=wrong_file, result_file=result_file)
+            self.logger.log("Done.\n")
+        return self.best_acc
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.logger.log(f"Training epoch: {epoch + 1}")
+        lr = step_decay_lr(epoch, cfg.base_lr, cfg.step, cfg.warm_up_epoch)
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        it = self.iterators["train"]
+        nb = it.batches_per_epoch()
+        losses, accs = [], []
+        t0 = time.time()
+        for b, (data, label, index, mask) in enumerate(it.epoch(epoch)):
+            batch = mesh_lib.shard_batch(self.mesh, {
+                "data": data.astype(np.float32),
+                "label": label,
+            })
+            self.state, metrics = self._train_step(self.state, batch, lr_arr)
+            if (int(self.state.global_step) % cfg.log_interval) == 0:
+                self.logger.log(
+                    f"\tBatch({b}/{nb}) done. "
+                    f"Loss: {float(metrics['loss']):.4f}  lr:{lr:.6f}")
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["acc"]))
+        dt = time.time() - t0
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        mean_acc = float(np.mean(accs)) if accs else float("nan")
+        clips = nb * cfg.batch_size
+        self.logger.log(
+            f"\tMean training loss: {mean_loss:.4f}  acc: {mean_acc:.4f}  "
+            f"({clips / max(dt, 1e-9):.1f} clips/s)")
+        return {"loss": mean_loss, "acc": mean_acc,
+                "clips_per_sec": clips / max(dt, 1e-9)}
+
+    def evaluate(self, epoch: int, wrong_file: Optional[str] = None,
+                 result_file: Optional[str] = None) -> float:
+        cfg = self.cfg
+        self.logger.log(f"Eval epoch: {epoch + 1}")
+        it = self.iterators["test"]
+        feeder = self.feeders["test"]
+        scores = []
+        loss_sum = 0.0
+        n_sum = 0.0
+        f_w = open(wrong_file, "w") if wrong_file else None
+        f_r = open(result_file, "w") if result_file else None
+        try:
+            for data, label, index, mask in it.epoch(0):
+                batch = mesh_lib.shard_batch(self.mesh, {
+                    "data": data.astype(np.float32),
+                    "label": label,
+                    "mask": mask,
+                })
+                logits, lsum, n = self._eval_step(
+                    self.state.params, self.state.bn_state, batch)
+                logits = np.asarray(logits)
+                valid = mask > 0
+                scores.append(logits[valid])
+                loss_sum += float(lsum)
+                n_sum += float(n)
+                if f_w or f_r:
+                    preds = logits.argmax(-1)
+                    for i in np.nonzero(valid)[0]:
+                        if f_r:
+                            f_r.write(f"{preds[i]},{label[i]}\n")
+                        if f_w and preds[i] != label[i]:
+                            f_w.write(f"{index[i]},{preds[i]},{label[i]}\n")
+        finally:
+            if f_w:
+                f_w.close()
+            if f_r:
+                f_r.close()
+        score = np.concatenate(scores)
+        accuracy = feeder.top_k(score, 1)
+        score_dict = dict(zip(feeder.sample_name, score))
+        eval_dir = os.path.join(self.work_dir, "eval_results")
+        if accuracy > self.best_acc:
+            self.best_acc = accuracy
+            with open(os.path.join(eval_dir, "best_acc.pkl"), "wb") as f:
+                pickle.dump(score_dict, f)
+        self.logger.log(
+            f"\tMean test loss: {loss_sum / max(n_sum, 1):.4f}.")
+        for k in cfg.show_topk:
+            self.logger.log(
+                f"\tTop{k}: {100 * feeder.top_k(score, k):.2f}%")
+        with open(os.path.join(
+                eval_dir, f"epoch_{epoch}_{accuracy}.pkl"), "wb") as f:
+            pickle.dump(score_dict, f)
+        return accuracy
+
+    def save(self, epoch: int) -> str:
+        payload = {
+            "params": self.state.params,
+            "bn_state": self.state.bn_state,
+            "opt_state": self.state.opt_state,
+            "global_step": self.state.global_step,
+            "meta": {"epoch": epoch, "best_acc": float(self.best_acc)},
+        }
+        path = ckpt_lib.save_checkpoint(self.save_dir, epoch, payload)
+        self.logger.log(f"\tSaved checkpoint: {path}")
+        return path
+
+
+def _merge_trees(base: Any, update: Any, ignore: list, logger) -> Any:
+    """Partial state-dict merge with missing-key report
+    (reference: main.py:277-292)."""
+    flat_base = dict(_flatten(base))
+    flat_update = dict(_flatten(update))
+    for name in ignore:
+        removed = [k for k in flat_update if name in k]
+        for k in removed:
+            flat_update.pop(k)
+            logger.log(f"Successfully Remove Weights: {k}.")
+    missing = set(flat_base) - set(flat_update)
+    if missing:
+        logger.log("Can not find these weights:")
+        for k in sorted(missing):
+            logger.log("  " + k)
+    for k, v in flat_update.items():
+        if k in flat_base:
+            if flat_base[k].shape != np.asarray(v).shape:
+                raise ValueError(
+                    f"shape mismatch for {k}: "
+                    f"{flat_base[k].shape} vs {np.asarray(v).shape}")
+            flat_base[k] = jnp.asarray(v)
+    return _unflatten(flat_base)
+
+
+def _flatten(tree: Any, prefix: str = ""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{k}.")
+    else:
+        yield prefix[:-1], tree
+
+
+def _unflatten(flat: Dict[str, Any]) -> Any:
+    out: Dict[str, Any] = {}
+    for key, value in flat.items():
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out

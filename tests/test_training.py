@@ -1,0 +1,143 @@
+"""End-to-end training slice on synthetic data: loss decreases, eval + score
+pickles are written, checkpoint resume round-trips."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from shift_gcn_tpu.models.shift_gcn import (
+    BlockSpec, ModelConfig)
+
+
+def _tiny_config():
+    # 4-block tiny backbone so the CPU test stays fast; same structure rules
+    # (no-residual first block, stride-2 downsample with residual conv).
+    return ModelConfig(
+        num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+        blocks=(
+            BlockSpec(3, 8, residual=False),
+            BlockSpec(8, 8),
+            BlockSpec(8, 16, stride=2),
+            BlockSpec(16, 16),
+        ))
+
+
+def _write_synthetic_dataset(tmp_path, n=32, t=16, v=25, m=1, seed=0):
+    """Two separable classes: class 1 drifts upward over time."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, n)
+    data = rng.standard_normal((n, 3, t, v, m)).astype(np.float32) * 0.1
+    drift = np.linspace(0, 1, t)[:, None, None]
+    for i in range(n):
+        if labels[i] == 1:
+            data[i, 1] += drift
+    names = [f"sample{i}.skeleton" for i in range(n)]
+    np.save(tmp_path / "data.npy", data)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump((names, labels.tolist()), f)
+    return str(tmp_path / "data.npy"), str(tmp_path / "label.pkl")
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    import jax
+    from shift_gcn_tpu.train.config import ExperimentConfig
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    tmp_path = tmp_path_factory.mktemp("train")
+    data_path, label_path = _write_synthetic_dataset(tmp_path)
+    cfg = ExperimentConfig(
+        Experiment_name="synthetic_smoke",
+        work_dir=str(tmp_path / "work_dir"),
+        model_saved_name=str(tmp_path / "save_models"),
+        train_feeder_args={"data_path": data_path,
+                           "label_path": label_path},
+        test_feeder_args={"data_path": data_path,
+                          "label_path": label_path},
+        batch_size=8, test_batch_size=8, base_lr=0.1,
+        step=[100], num_epoch=3, nesterov=True,
+    )
+    tr = Trainer(cfg)
+    tr.model_config = _tiny_config()
+    # rebuild state/steps for the tiny config
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.optim import build_weight_decay_tree
+    tr.state = state_lib.create_train_state(
+        jax.random.key(0), tr.model_config)
+    tr.wd_tree = build_weight_decay_tree(tr.state.params)
+    tr._build_steps()
+    return tr
+
+
+def test_loss_decreases_and_eval_writes_scores(trainer):
+    m0 = trainer.train_epoch(0)
+    for e in range(1, 6):
+        m = trainer.train_epoch(e)
+    assert m["loss"] < m0["loss"], (m0, m)
+    acc = trainer.evaluate(5)
+    assert 0.0 <= acc <= 1.0
+    eval_dir = os.path.join(trainer.work_dir, "eval_results")
+    pkls = os.listdir(eval_dir)
+    assert any(p.startswith("epoch_") for p in pkls)
+    assert "best_acc.pkl" in pkls
+    with open(os.path.join(eval_dir, "best_acc.pkl"), "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores) == 32
+    assert next(iter(scores.values())).shape == (2,)
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    import jax
+    import numpy as np
+    path = trainer.save(epoch=5)
+    from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+    template = {
+        "params": trainer.state.params,
+        "bn_state": trainer.state.bn_state,
+        "opt_state": trainer.state.opt_state,
+        "global_step": trainer.state.global_step,
+        "meta": {"epoch": 0, "best_acc": 0.0},
+    }
+    restored = ckpt_lib.restore_checkpoint(path, template)
+    assert int(restored["meta"]["epoch"]) == 5
+    orig = jax.tree_util.tree_leaves(trainer.state.params)
+    back = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt_lib.latest_checkpoint(trainer.save_dir) == path
+
+
+def test_eval_handles_padded_final_batch(trainer, tmp_path):
+    # 30 samples with batch 8 -> final batch carries 6 valid + 2 padded
+    # (masked) samples; scores must cover exactly the 30 real samples.
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    data_path, label_path = _write_synthetic_dataset(tmp_path, n=30, seed=7)
+    feeder = Feeder(data_path=data_path, label_path=label_path)
+    trainer.feeders["test"] = feeder
+    trainer.iterators["test"] = BatchIterator(
+        feeder, 8, shuffle=False, drop_last=False)
+    acc = trainer.evaluate(6)
+    assert 0.0 <= acc <= 1.0
+    with open(os.path.join(trainer.work_dir, "eval_results",
+                           f"epoch_6_{acc}.pkl"), "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores) == 30
+
+
+def test_batch_size_must_divide_mesh(tmp_path):
+    import jax
+    from shift_gcn_tpu.train.config import ExperimentConfig
+    from shift_gcn_tpu.train.trainer import Trainer
+    data_path, label_path = _write_synthetic_dataset(tmp_path, n=8, seed=1)
+    cfg = ExperimentConfig(
+        Experiment_name="bad_batch",
+        work_dir=str(tmp_path / "work_dir"),
+        model_saved_name=str(tmp_path / "save_models"),
+        train_feeder_args={"data_path": data_path, "label_path": label_path},
+        test_feeder_args={"data_path": data_path, "label_path": label_path},
+        batch_size=5,
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cfg)
