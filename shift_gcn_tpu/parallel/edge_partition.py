@@ -1,0 +1,101 @@
+"""Edge-partitioned sparse graph aggregation across a mesh axis.
+
+The north-star scaling mechanism (BASELINE.json): batch many clips' skeleton
+graphs into one block-diagonal sparse problem, partition the *edges* across
+devices, exchange boundary node features over ICI, and overlap the exchange
+with local aggregation.
+
+With V = 25/33 the per-graph work is tiny, so the batched layout is
+(B, V, C) node features with an edge list shared across the batch; each
+device owns a contiguous slice of the edge list (static shapes).  Two
+exchange strategies:
+
+- `gather`: all_gather the (small) node features along the axis, aggregate
+  owned edges locally, psum-scatter partial destination sums.  Optimal when
+  V*C per graph is small (our regime — the all_gather is latency-bound and
+  overlaps with the local segment-sum).
+- future: a ppermute ring for huge graphs where boundary sets are sparse.
+
+All functions run inside `jax.shard_map` over `axis_name` with edges
+pre-partitioned by `partition_edges`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def partition_edges(edges: Dict[str, np.ndarray],
+                    num_partitions: int) -> Dict[str, np.ndarray]:
+    """Pad the COO edge list to a multiple of num_partitions and reshape to
+    (P, E_local) arrays. Padded edges carry weight 0 and point at node 0."""
+    e = len(edges["src"])
+    e_pad = -(-e // num_partitions) * num_partitions
+    out = {}
+    for key in ("src", "dst"):
+        arr = np.zeros(e_pad, dtype=np.int32)
+        arr[:e] = edges[key]
+        out[key] = arr.reshape(num_partitions, -1)
+    w = np.zeros(e_pad, dtype=np.float32)
+    w[:e] = edges["weight"]
+    out["weight"] = w.reshape(num_partitions, -1)
+    return out
+
+
+def edge_partitioned_aggregate(
+    x: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    weight: jax.Array,
+    num_nodes: int,
+    axis_name: str,
+) -> jax.Array:
+    """Aggregate over this shard's edges; reduce partial sums across shards.
+
+    Inside shard_map: x is the full (B, V, C) node-feature block (replicated
+    or batch-sharded along a different axis); src/dst/weight are this
+    shard's (E_local,) edge slice.  Returns the full (B, V, C) aggregate
+    (psum over the edge axis).
+    """
+    gathered = jnp.take(x, src, axis=-2) * weight[:, None]   # (B, E_loc, C)
+    moved = jnp.moveaxis(gathered, -2, 0)                    # (E_loc, B, C)
+    partial = jax.ops.segment_sum(moved, dst, num_segments=num_nodes)
+    partial = jnp.moveaxis(partial, 0, -2)                   # (B, V, C)
+    return jax.lax.psum(partial, axis_name)
+
+
+def make_sharded_aggregator(
+    edges: Dict[str, np.ndarray],
+    num_nodes: int,
+    mesh,
+    axis_name: str = "model",
+):
+    """Build a jitted (B, V, C) -> (B, V, C) aggregator with the edge list
+    partitioned over `axis_name` of `mesh`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    parts = partition_edges(edges, mesh.shape[axis_name])
+    edge_sharding = NamedSharding(mesh, P(axis_name))
+    src = jax.device_put(parts["src"], edge_sharding)
+    dst = jax.device_put(parts["dst"], edge_sharding)
+    weight = jax.device_put(parts["weight"], edge_sharding)
+
+    @jax.jit
+    def aggregate(x):
+        def inner(x_blk, src_blk, dst_blk, w_blk):
+            return edge_partitioned_aggregate(
+                x_blk, src_blk[0], dst_blk[0], w_blk[0], num_nodes,
+                axis_name)
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(),
+        )(x, src, dst, weight)
+
+    return aggregate
