@@ -117,3 +117,47 @@ def downsample(data: np.ndarray, step: int,
     """Temporal stride subsample (reference: feeders/tools.py:6-9)."""
     begin = int(rng.integers(0, step)) if rng is not None else 0
     return data[:, begin::step]
+
+
+def temporal_slice(data: np.ndarray, step: int) -> np.ndarray:
+    """Fold time into the person axis by `step` (reference:
+    feeders/tools.py:12-16)."""
+    c, t, v, m = data.shape
+    return data.reshape(c, t // step, step, v, m).transpose(
+        0, 1, 3, 2, 4).reshape(c, t // step, v, step * m)
+
+
+def openpose_match(data: np.ndarray) -> np.ndarray:
+    """Greedy frame-to-frame person tracking by joint-distance, then sort
+    tracks by confidence (reference: feeders/tools.py:120-161).
+
+    data: (3, T, V, M) with channel 2 = per-joint confidence score.
+    """
+    c, t, v, m = data.shape
+    assert c == 3
+    score = data[2].sum(axis=1)                       # (T, M)
+    rank = (-score[: t - 1]).argsort(axis=1)          # (T-1, M)
+
+    xy1 = data[0:2, 0:t - 1].reshape(2, t - 1, v, m, 1)
+    xy2 = data[0:2, 1:t].reshape(2, t - 1, v, 1, m)
+    distance = ((xy2 - xy1) ** 2).sum(axis=2).sum(axis=0)  # (T-1, M, M)
+
+    forward_map = np.zeros((t, m), dtype=int) - 1
+    forward_map[0] = range(m)
+    for body in range(m):
+        choose = rank == body
+        forward = distance[choose].argmin(axis=1)
+        for ti in range(t - 1):
+            distance[ti, :, forward[ti]] = np.inf
+        forward_map[1:][choose] = forward
+    assert np.all(forward_map >= 0)
+
+    for ti in range(t - 1):
+        forward_map[ti + 1] = forward_map[ti + 1][forward_map[ti]]
+
+    new_data = np.zeros_like(data)
+    for ti in range(t):
+        new_data[:, ti] = data[:, ti, :, forward_map[ti]].transpose(1, 2, 0)
+
+    trace_score = new_data[2].sum(axis=1).sum(axis=0)
+    return new_data[:, :, :, (-trace_score).argsort()]

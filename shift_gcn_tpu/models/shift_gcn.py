@@ -74,6 +74,10 @@ class ModelConfig:
         default_factory=default_backbone)
     shift_init_scale: float = 1.0
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for matmul inputs
+    # rematerialize each block in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(depth) less HBM for activations —
+    # enables larger batches than the reference's fp32-everything layout
+    remat: bool = False
 
     @property
     def dtype(self) -> Optional[jnp.dtype]:
@@ -362,11 +366,19 @@ def apply(
     h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(n * m, t, v, c)
 
     new_state: State = {"data_bn": data_bn_state}
+    use_remat = config.remat and training
+
+    def run_block(p, s, x, spec):
+        fn = lambda p_, s_, x_: _apply_block(  # noqa: E731
+            p_, s_, x_, spec, training=training,
+            axis_name=axis_name, compute_dtype=compute_dtype)
+        if use_remat:
+            fn = jax.checkpoint(fn)
+        return fn(p, s, x)
+
     for i, spec in enumerate(config.blocks):
         name = f"l{i + 1}"
-        h, block_state = _apply_block(
-            params[name], state[name], h, spec, training=training,
-            axis_name=axis_name, compute_dtype=compute_dtype)
+        h, block_state = run_block(params[name], state[name], h, spec)
         new_state[name] = block_state
 
     # global average over (T', V) then persons (reference: shift_gcn.py:212-214)

@@ -55,11 +55,12 @@ def temporal_conv(
     """
     k = weight.shape[2]
     pad = (k - 1) // 2
+    # kept fp32 regardless of compute_dtype: XLA's conv transpose rule
+    # rejects mixed bf16-operand/f32-cotangent convs, and this k x 1
+    # residual conv is a negligible share of the FLOPs.
+    del compute_dtype
     h = x
     w = weight
-    if compute_dtype is not None:
-        h = h.astype(compute_dtype)
-        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         h,
         w,

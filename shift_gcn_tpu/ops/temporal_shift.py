@@ -146,12 +146,18 @@ def _shift_conv_slices(
 
 
 def _shift_conv(x, taps_t, taps_v, stride, t_lo):
+    # Lowering choice (measured on TPU v5e, batch 64, T=300):
+    #   conv : train 193 clips/s, eval 683 clips/s  <- default
+    #   slice: eval 277 clips/s, backward OOMs at batch 64
+    # Known platform issue: at very small T (T//4 < tap window) the eval
+    # graph faults the remote TPU worker under BOTH lowerings; use T >= 128
+    # on this platform (standard clips are T=300).
     import os
 
-    impl = os.environ.get("SGT_TSHIFT_IMPL", "slice")
-    if impl == "conv":
-        return _shift_conv_dw(x, taps_t, taps_v, stride, t_lo)
-    return _shift_conv_slices(x, taps_t, taps_v, stride, t_lo)
+    impl = os.environ.get("SGT_TSHIFT_IMPL", "conv")
+    if impl == "slice":
+        return _shift_conv_slices(x, taps_t, taps_v, stride, t_lo)
+    return _shift_conv_dw(x, taps_t, taps_v, stride, t_lo)
 
 
 def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,

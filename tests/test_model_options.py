@@ -1,0 +1,81 @@
+"""Model option coverage: remat equivalence, bf16 compute path, both
+temporal-shift lowerings through the full model."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from shift_gcn_tpu.models.shift_gcn import (
+    BlockSpec, ModelConfig, apply, init_params)
+from shift_gcn_tpu.train.optim import build_weight_decay_tree
+from shift_gcn_tpu.train.state import create_train_state, make_train_step
+
+
+def _cfg(**kw):
+    return ModelConfig(
+        num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+        blocks=(BlockSpec(3, 8, residual=False),
+                BlockSpec(8, 16, stride=2)), **kw)
+
+
+def _batch(seed=0, n=4, t=16):
+    rng = np.random.default_rng(seed)
+    return {
+        "data": jnp.asarray(
+            rng.standard_normal((n, 3, t, 25, 1)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 2, n), jnp.int32),
+    }
+
+
+def test_remat_train_step_matches_plain():
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    outs = {}
+    for remat in (False, True):
+        cfg = _cfg(remat=remat)
+        state = create_train_state(jax.random.key(0), cfg)
+        wd = build_weight_decay_tree(state.params)
+        step = jax.jit(make_train_step(cfg, wd))
+        new_state, metrics = step(state, batch, lr)
+        outs[remat] = (new_state, metrics)
+    np.testing.assert_allclose(
+        float(outs[False][1]["loss"]), float(outs[True][1]["loss"]),
+        atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][0].params),
+                    jax.tree_util.tree_leaves(outs[True][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_compute_trains_and_stays_close():
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    cfg32 = _cfg()
+    cfg16 = _cfg(compute_dtype="bfloat16")
+    state = create_train_state(jax.random.key(0), cfg32)
+    wd = build_weight_decay_tree(state.params)
+    _, m32 = jax.jit(make_train_step(cfg32, wd))(state, batch, lr)
+    state = create_train_state(jax.random.key(0), cfg16)
+    s16, m16 = jax.jit(make_train_step(cfg16, wd))(state, batch, lr)
+    # params remain fp32
+    assert all(l.dtype == jnp.float32 or l.dtype == jnp.int32
+               for l in jax.tree_util.tree_leaves(s16.params))
+    assert abs(float(m32["loss"]) - float(m16["loss"])) < 0.05
+
+
+def test_shift_impls_agree_through_model():
+    cfg = _cfg()
+    params, state = init_params(jax.random.key(1), cfg)
+    x = _batch(seed=2)["data"]
+    outs = {}
+    for impl in ("slice", "conv"):
+        os.environ["SGT_TSHIFT_IMPL"] = impl
+        # separate jit cache entries via a trivial closure difference
+        f = jax.jit(lambda p, s, xx, _impl=impl: apply(
+            p, s, xx, cfg, training=False)[0])
+        outs[impl] = np.asarray(f(params, state, x))
+    os.environ.pop("SGT_TSHIFT_IMPL", None)
+    np.testing.assert_allclose(outs["slice"], outs["conv"], atol=1e-4)
