@@ -42,6 +42,8 @@ class Feeder:
         normalization: bool = False,
         debug: bool = False,
         use_mmap: bool = True,
+        native: bool = False,
+        native_threads: int = 4,
     ):
         self.data_path = data_path
         self.label_path = label_path
@@ -66,8 +68,27 @@ class Feeder:
             self.data = self.data[:100]
             self.sample_name = self.sample_name[:100]
 
+        # optional native (C++ thread-pool) batch gather; only usable on the
+        # fast path (no augmentation/normalization, full clips, no debug
+        # truncation)
+        self.native_loader = None
+        if native and not debug:
+            try:
+                from shift_gcn_tpu.data.native_loader import NativeClipLoader
+
+                self.native_loader = NativeClipLoader(
+                    data_path, num_threads=native_threads)
+            except Exception:
+                self.native_loader = None
+
         if normalization:
             self._compute_mean_map()
+
+    def supports_native_batch(self) -> bool:
+        return (self.native_loader is not None
+                and not (self.normalization or self.random_shift
+                         or self.random_choose or self.random_move
+                         or self.window_size > 0))
 
     def _compute_mean_map(self) -> None:
         # reference: feeders/feeder.py:62-66
@@ -157,8 +178,11 @@ class BatchIterator:
     def _make_batch(
         self, idx: np.ndarray, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        clips = [self.feeder.get(int(i), rng) for i in idx]
-        data = np.stack(clips)
+        if self.feeder.supports_native_batch():
+            data = self.feeder.native_loader.gather(idx)
+        else:
+            data = np.stack(
+                [self.feeder.get(int(i), rng) for i in idx])
         labels = np.asarray([self.feeder.label[int(i)] for i in idx],
                             dtype=np.int32)
         mask = np.ones(len(idx), dtype=np.float32)

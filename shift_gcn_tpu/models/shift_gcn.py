@@ -78,6 +78,9 @@ class ModelConfig:
     # trades ~30% more FLOPs for O(depth) less HBM for activations —
     # enables larger batches than the reference's fp32-everything layout
     remat: bool = False
+    # use the fused Pallas kernel for the spatial shift-gcn transform
+    # (single HBM pass for shift->gate->matmul->shift)
+    use_pallas: bool = False
 
     @property
     def dtype(self) -> Optional[jnp.dtype]:
@@ -231,19 +234,29 @@ def _apply_shift_gcn(
     training: bool,
     axis_name: Optional[str],
     compute_dtype,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, State]:
     """Spatial block (reference: model/shift_gcn.py:121-142).
 
     x: (N, T, V, C_in) -> (N, T, V, C_out).
     """
     n, t, v, cin = x.shape
-    h = shift_gcn_transform(
-        x,
-        params["Linear_weight"],
-        params["Linear_bias"],
-        params["Feature_Mask"],
-        compute_dtype=compute_dtype,
-    )
+    if use_pallas:
+        from shift_gcn_tpu.ops.pallas.shift_gcn_kernel import fused_shift_gcn
+
+        gate = jnp.tanh(params["Feature_Mask"][0]) + 1.0
+        h = fused_shift_gcn(
+            x.reshape(n * t, v, cin), gate, params["Linear_weight"],
+            params["Linear_bias"].reshape(-1))
+        h = h.reshape(n, t, v, -1)
+    else:
+        h = shift_gcn_transform(
+            x,
+            params["Linear_weight"],
+            params["Linear_bias"],
+            params["Feature_Mask"],
+            compute_dtype=compute_dtype,
+        )
     # BatchNorm1d over (V*C_out) features, stats over N*T
     cout = h.shape[-1]
     h2 = h.reshape(n * t, v * cout)
@@ -306,11 +319,13 @@ def _apply_block(
     training: bool,
     axis_name: Optional[str],
     compute_dtype,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, State]:
     """TCN_GCN_unit (reference: model/shift_gcn.py:145-162)."""
     h, gcn_state = _apply_shift_gcn(
         params["gcn1"], state["gcn1"], x, training=training,
-        axis_name=axis_name, compute_dtype=compute_dtype)
+        axis_name=axis_name, compute_dtype=compute_dtype,
+        use_pallas=use_pallas)
     h, tcn_state = _apply_shift_tcn(
         params["tcn1"], state["tcn1"], h, stride=spec.stride,
         training=training, axis_name=axis_name, compute_dtype=compute_dtype)
@@ -371,7 +386,8 @@ def apply(
     def run_block(p, s, x, spec):
         fn = lambda p_, s_, x_: _apply_block(  # noqa: E731
             p_, s_, x_, spec, training=training,
-            axis_name=axis_name, compute_dtype=compute_dtype)
+            axis_name=axis_name, compute_dtype=compute_dtype,
+            use_pallas=config.use_pallas)
         if use_remat:
             fn = jax.checkpoint(fn)
         return fn(p, s, x)
