@@ -28,7 +28,18 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--compute-dtype", default=None,
                         help="e.g. bfloat16 for matmul inputs")
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "eval", "spmm"],
+                        help="train step clips/s (default), eval clips/s, "
+                        "or sparse-aggregation edges/s")
     args = parser.parse_args()
+
+    if args.mode == "spmm":
+        _bench_spmm(args)
+        return
+    if args.mode == "eval":
+        _bench_eval(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -84,6 +95,73 @@ def main() -> None:
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / 47.0, 2),
+    }))
+
+
+def _timeit(fn, *args, steps=20):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def _bench_eval(args):
+    """Eval-pass throughput (reference baseline: ~473 clips/s,
+    TRAINING_REPORT.md:373)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shift_gcn_tpu.models.shift_gcn import ModelConfig, apply, init_params
+
+    config = ModelConfig(
+        num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
+        compute_dtype=args.compute_dtype)
+    params, state = init_params(jax.random.key(0), config)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (args.batch_size, 3, 300, 33, 1)), jnp.float32)
+    fwd = jax.jit(lambda p, s, xx: apply(p, s, xx, config,
+                                         training=False)[0])
+    dt = _timeit(fwd, params, state, x, steps=args.steps)
+    clips = args.batch_size / dt
+    print(json.dumps({
+        "metric": "eval_clips_per_sec",
+        "value": round(clips, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips / 473.0, 2),
+    }))
+
+
+def _bench_spmm(args):
+    """Edges/s of the batched dense-subset graph aggregation (the generic
+    message-passing kernel; no published reference number -> vs_baseline
+    reported as 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shift_gcn_tpu.graphs import MEDIAPIPE_POSE
+    from shift_gcn_tpu.ops.aggregate import dense_graph_aggregate
+
+    graph = MEDIAPIPE_POSE
+    b, c = 4096, 64
+    edges = int((graph.A != 0).sum())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, graph.num_nodes, c)),
+                    jnp.float32)
+    adj = jnp.asarray(graph.A)
+    agg = jax.jit(lambda xx: dense_graph_aggregate(xx, adj))
+    dt = _timeit(agg, x, steps=args.steps)
+    edges_per_sec = b * edges / dt
+    print(json.dumps({
+        "metric": "spmm_edges_per_sec",
+        "value": round(edges_per_sec / 1e9, 3),
+        "unit": "Gedge/s",
+        "vs_baseline": 0,
     }))
 
 

@@ -66,6 +66,12 @@ class ExperimentConfig:
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     sync_bn: bool = True                    # global-batch BN under jit
     donate_state: bool = True
+    remat: bool = False                     # per-block rematerialization
+    use_pallas: bool = False                # fused Pallas spatial kernel
+    native_loader: bool = False             # C++ thread-pool batch gather
+    profile_dir: Optional[str] = None       # jax.profiler trace output dir
+    profile_steps: int = 5                  # steps traced at epoch start
+    debug_nans: bool = False                # jax nan-checking mode
 
     def resolved_work_dir(self) -> str:
         return os.path.join(self.work_dir, self.Experiment_name)

@@ -53,10 +53,19 @@ class Trainer:
 
         self.model_config = shift_gcn.config_from_reference_args(
             cfg.model_args)
+        import dataclasses
+        overrides = {}
         if cfg.compute_dtype:
-            import dataclasses
+            overrides["compute_dtype"] = cfg.compute_dtype
+        if cfg.remat:
+            overrides["remat"] = True
+        if cfg.use_pallas:
+            overrides["use_pallas"] = True
+        if overrides:
             self.model_config = dataclasses.replace(
-                self.model_config, compute_dtype=cfg.compute_dtype)
+                self.model_config, **overrides)
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
         data_axis = self.mesh.shape["data"]
@@ -112,13 +121,14 @@ class Trainer:
         num_hosts = jax.process_count()
         self.feeders: Dict[str, Feeder] = {}
         self.iterators: Dict[str, BatchIterator] = {}
+        extra = {"native": True} if cfg.native_loader else {}
         if cfg.phase == "train":
-            self.feeders["train"] = Feeder(**cfg.train_feeder_args)
+            self.feeders["train"] = Feeder(**cfg.train_feeder_args, **extra)
             self.iterators["train"] = BatchIterator(
                 self.feeders["train"], cfg.batch_size, shuffle=True,
                 drop_last=True, seed=cfg.seed, host_id=host_id,
                 num_hosts=num_hosts)
-        self.feeders["test"] = Feeder(**cfg.test_feeder_args)
+        self.feeders["test"] = Feeder(**cfg.test_feeder_args, **extra)
         self.iterators["test"] = BatchIterator(
             self.feeders["test"], cfg.test_batch_size, shuffle=False,
             drop_last=False, seed=cfg.seed, host_id=host_id,
@@ -208,26 +218,50 @@ class Trainer:
         it = self.iterators["train"]
         nb = it.batches_per_epoch()
         losses, accs = [], []
+        timer = {"dataloader": 1e-3, "model": 1e-3, "statistics": 1e-3}
+        profiling = bool(cfg.profile_dir) and epoch == self.start_epoch
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         t0 = time.time()
+        mark = t0
         for b, (data, label, index, mask) in enumerate(it.epoch(epoch)):
             batch = mesh_lib.shard_batch(self.mesh, {
                 "data": data.astype(np.float32),
                 "label": label,
             })
+            now = time.time()
+            timer["dataloader"] += now - mark
             self.state, metrics = self._train_step(self.state, batch, lr_arr)
+            if profiling and b + 1 >= cfg.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.log(
+                    f"\tProfiler trace written to {cfg.profile_dir}")
+            mark = time.time()
+            timer["model"] += mark - now
             if (int(self.state.global_step) % cfg.log_interval) == 0:
                 self.logger.log(
                     f"\tBatch({b}/{nb}) done. "
                     f"Loss: {float(metrics['loss']):.4f}  lr:{lr:.6f}")
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
+            now = time.time()
+            timer["statistics"] += now - mark
+            mark = now
+        if profiling:
+            jax.profiler.stop_trace()
         dt = time.time() - t0
+        total = sum(timer.values())
+        proportion = {k: f"{int(round(v * 100 / total)):02d}%"
+                      for k, v in timer.items()}
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         mean_acc = float(np.mean(accs)) if accs else float("nan")
         clips = nb * cfg.batch_size
         self.logger.log(
             f"\tMean training loss: {mean_loss:.4f}  acc: {mean_acc:.4f}  "
-            f"({clips / max(dt, 1e-9):.1f} clips/s)")
+            f"({clips / max(dt, 1e-9):.1f} clips/s)  "
+            f"time: {proportion}")
         return {"loss": mean_loss, "acc": mean_acc,
                 "clips_per_sec": clips / max(dt, 1e-9)}
 
