@@ -47,6 +47,15 @@ class Trainer:
                     exist_ok=True)
         config_lib.save_config(cfg, os.path.join(self.work_dir,
                                                  "config.yaml"))
+        # snapshot the model source into the work dir for reproducibility
+        # (reference: main.py:257 copies the model file)
+        try:
+            import inspect
+            import shutil
+
+            shutil.copy2(inspect.getfile(shift_gcn), self.work_dir)
+        except Exception:
+            pass
 
         if cfg.phase == "train" and cfg.overwrite:
             self._cleanup_previous_run()

@@ -88,19 +88,32 @@ def torch_state_dict_to_pytrees(
 
 
 def load_reference_checkpoint(path: str):
-    """Load a reference ``.pt`` checkpoint (requires torch) and return
-    (params, bn_state) numpy pytrees plus metadata."""
-    import torch
+    """Load a reference ``.pt``/``.pkl`` checkpoint and return
+    (params, bn_state) numpy pytrees plus metadata.
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    ``.pkl`` weights (reference: main.py:264-266) load via pickle; ``.pt``
+    via torch (required on the import host only)."""
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+    else:
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     meta = {}
     if isinstance(blob, dict) and "model_state_dict" in blob:
         meta = {k: blob[k] for k in ("epoch", "global_step", "best_acc")
                 if k in blob}
         blob = blob["model_state_dict"]
+    def to_numpy(v):
+        if hasattr(v, "detach"):
+            return v.detach().cpu().numpy()
+        return np.asarray(v)
+
     state_dict = {
-        k.split("module.")[-1]: v.detach().cpu().numpy()
-        for k, v in blob.items()
+        k.split("module.")[-1]: to_numpy(v) for k, v in blob.items()
     }
     params, bn_state = torch_state_dict_to_pytrees(state_dict)
     return params, bn_state, meta

@@ -1,0 +1,135 @@
+"""Offline data generation: NTU .skeleton parsing, split logic, bone/motion
+CLI, and the MediaPipe pipeline with a synthetic pose backend."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from shift_gcn_tpu.data.gendata import ntu
+from shift_gcn_tpu.data.gendata.modality_cli import gen_bone, gen_motion
+from shift_gcn_tpu.graphs import MEDIAPIPE_POSE
+
+
+def _write_skeleton_file(path, frames, num_joint=25, bodies_per_frame=1):
+    """Emit the NTU .skeleton text format for a synthetic sequence."""
+    rng = np.random.default_rng(0)
+    lines = [str(frames)]
+    for _ in range(frames):
+        lines.append(str(bodies_per_frame))
+        for b in range(bodies_per_frame):
+            lines.append(f"{b} 0 0 0 0 0 0 0 0 0")
+            lines.append(str(num_joint))
+            for _ in range(num_joint):
+                x, y, z = rng.standard_normal(3)
+                lines.append(
+                    f"{x:.4f} {y:.4f} {z:.4f} 0 0 0 0 0 0 0 0 2")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_parse_filename_fields():
+    fields = ntu.parse_filename("S001C002P003R002A043.skeleton")
+    assert fields == {"setup": 1, "camera": 2, "subject": 3,
+                      "replication": 2, "action": 43}
+
+
+def test_split_membership():
+    f = {"setup": 2, "camera": 2, "subject": 1, "replication": 1,
+         "action": 1}
+    assert ntu.is_training_sample(f, "xsub")
+    assert ntu.is_training_sample(f, "xview")
+    assert ntu.is_training_sample(f, "ntu120-xsetup")
+    f2 = dict(f, subject=3, camera=1, setup=3)
+    assert not ntu.is_training_sample(f2, "xsub")
+    assert not ntu.is_training_sample(f2, "xview")
+    assert not ntu.is_training_sample(f2, "ntu120-xsetup")
+
+
+def test_read_xyz_and_gendata(tmp_path):
+    data_dir = tmp_path / "skeletons"
+    data_dir.mkdir()
+    # subject 1 -> train under xsub; subject 3 -> val
+    _write_skeleton_file(data_dir / "S001C001P001R001A043.skeleton", 12)
+    _write_skeleton_file(data_dir / "S001C001P003R001A001.skeleton", 9)
+
+    clip = ntu.read_xyz(str(data_dir / "S001C001P001R001A043.skeleton"))
+    assert clip.shape == (3, 12, 25, 2)
+    assert clip[:, :, :, 1].sum() == 0  # only one body present
+
+    out = tmp_path / "out"
+    d, l = ntu.gendata(str(data_dir), str(out), benchmark="xsub",
+                       part="train")
+    data = np.load(d)
+    with open(l, "rb") as f:
+        names, labels = pickle.load(f)
+    assert data.shape == (1, 3, 300, 25, 2)
+    assert labels == [42]  # action 43, zero-indexed
+    assert names == ["S001C001P001R001A043.skeleton"]
+
+    d2, l2 = ntu.gendata(str(data_dir), str(out), benchmark="xsub",
+                         part="val")
+    with open(l2, "rb") as f:
+        _, labels2 = pickle.load(f)
+    assert labels2 == [0]
+
+
+def test_bone_motion_cli_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((6, 3, 10, 33, 1)).astype(np.float32)
+    np.save(tmp_path / "train_data_joint.npy", data)
+    bone_path = gen_bone(str(tmp_path), "mediapipe", "train")
+    bone = np.load(bone_path)
+    parents = MEDIAPIPE_POSE.bone_parents()
+    np.testing.assert_allclose(bone, data - data[:, :, :, parents, :])
+    motion_path = gen_motion(str(tmp_path), "train", "joint")
+    motion = np.load(motion_path)
+    np.testing.assert_allclose(
+        motion[:, :, :-1], data[:, :, 1:] - data[:, :, :-1])
+    np.testing.assert_array_equal(motion[:, :, -1], 0)
+
+
+def test_mediapipe_pipeline_with_fake_backend(tmp_path):
+    from shift_gcn_tpu.data.gendata import mediapipe as mp_gen
+
+    rng = np.random.default_rng(2)
+
+    def fake_backend(path, max_frame):
+        t = 20 if "A043" in path else 15
+        return rng.standard_normal((3, t, 33, 1)).astype(np.float32)
+
+    video_dir = tmp_path / "videos"
+    video_dir.mkdir()
+    for name in ("S001C001P001R001A043.mp4",   # fall, train subject
+                 "S001C001P001R001A001.mp4",   # non-fall, train subject
+                 "S001C001P003R001A043.mp4"):  # fall, val subject
+        (video_dir / name).touch()
+
+    out = tmp_path / "out"
+    mp_gen.gendata_ntu_fall(
+        str(video_dir), str(out), benchmark="xsub",
+        subsample_ratio=1.0, max_frame=32, backend=fake_backend)
+
+    train = np.load(out / "train_data_joint.npy")
+    with open(out / "train_label.pkl", "rb") as f:
+        names, labels = pickle.load(f)
+    assert train.shape == (2, 3, 32, 33, 1)
+    assert sorted(labels) == [0, 1]
+    val = np.load(out / "val_data_joint.npy")
+    with open(out / "val_label.pkl", "rb") as f:
+        vnames, vlabels = pickle.load(f)
+    assert val.shape == (1, 3, 32, 33, 1)
+    assert vlabels == [1]
+
+
+def test_subsample_negatives_deterministic():
+    from shift_gcn_tpu.data.gendata.mediapipe import subsample_negatives
+
+    videos = [(f"p{i}", 1) for i in range(3)] + [
+        (f"n{i}", 0) for i in range(10)]
+    a = subsample_negatives(videos, 1.0, seed=42)
+    b = subsample_negatives(videos, 1.0, seed=42)
+    assert a == b
+    assert sum(1 for _, l in a if l == 0) == 3
+    assert sum(1 for _, l in a if l == 1) == 3
