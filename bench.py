@@ -29,9 +29,10 @@ def main() -> None:
     parser.add_argument("--compute-dtype", default=None,
                         help="e.g. bfloat16 for matmul inputs")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "eval", "spmm"],
+                        choices=["train", "eval", "spmm", "scaling"],
                         help="train step clips/s (default), eval clips/s, "
-                        "or sparse-aggregation edges/s")
+                        "sparse-aggregation edges/s, or data-parallel "
+                        "scaling efficiency across the local mesh")
     args = parser.parse_args()
 
     if args.mode == "spmm":
@@ -39,6 +40,9 @@ def main() -> None:
         return
     if args.mode == "eval":
         _bench_eval(args)
+        return
+    if args.mode == "scaling":
+        _bench_scaling(args)
         return
 
     import jax
@@ -162,6 +166,60 @@ def _bench_spmm(args):
         "value": round(edges_per_sec / 1e9, 3),
         "unit": "Gedge/s",
         "vs_baseline": 0,
+    }))
+
+
+def _bench_scaling(args):
+    """Data-parallel scaling efficiency over the local devices: clips/s at
+    mesh sizes 1..N with per-device batch held constant (weak scaling).
+    Reports efficiency at the largest mesh (the >=85%% edges/s-scaling
+    target from BASELINE.json, measured on whatever devices exist here —
+    meaningful on real multi-chip slices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from shift_gcn_tpu.models.shift_gcn import BlockSpec, ModelConfig
+    from shift_gcn_tpu.train.optim import build_weight_decay_tree
+    from shift_gcn_tpu.train.state import create_train_state, make_train_step
+
+    devices = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8) if s <= len(devices)]
+    per_device_batch = 8
+    config = ModelConfig(
+        num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+        blocks=(BlockSpec(3, 16, residual=False),
+                BlockSpec(16, 32, stride=2)))
+    state = create_train_state(jax.random.key(0), config)
+    wd = build_weight_decay_tree(state.params)
+    step_fn = make_train_step(config, wd)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(0.1, jnp.float32)
+
+    throughput = {}
+    for n in sizes:
+        mesh = Mesh(np.asarray(devices[:n]), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        b = per_device_batch * n
+        batch = {
+            "data": jax.device_put(rng.standard_normal(
+                (b, 3, 64, 25, 1)).astype(np.float32), shard),
+            "label": jax.device_put(
+                rng.integers(0, 2, b).astype(np.int32), shard),
+        }
+        step = jax.jit(step_fn)
+        dt = _timeit(lambda s, bb: step(s, bb, lr)[1]["loss"],
+                     state, batch, steps=args.steps)
+        throughput[n] = b / dt
+
+    base = throughput[sizes[0]]
+    top = sizes[-1]
+    efficiency = throughput[top] / (base * top)
+    print(json.dumps({
+        "metric": f"dp_scaling_efficiency_{top}x",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "vs_baseline": round(efficiency / 0.85, 2),
     }))
 
 

@@ -257,13 +257,14 @@ def _apply_shift_gcn(
             params["Feature_Mask"],
             compute_dtype=compute_dtype,
         )
-    # BatchNorm1d over (V*C_out) features, stats over N*T
+    # BatchNorm1d over (V*C_out) features with stats over N*T — computed in
+    # 4D with a (V, C) feature shape (identical math; avoids the trailing
+    # (V,C)->(V*C) relayout, which is both an extra pass for XLA and a
+    # Mosaic compile-crash trigger right after the Pallas kernel)
     cout = h.shape[-1]
-    h2 = h.reshape(n * t, v * cout)
-    h2, bn_state = batch_norm(
-        h2, params["bn"], state["bn"], reduce_axes=(0,),
+    h, bn_state = batch_norm(
+        h, params["bn"], state["bn"], reduce_axes=(0, 1),
         training=training, axis_name=axis_name)
-    h = h2.reshape(n, t, v, cout)
 
     new_state: State = {"bn": bn_state}
     if "down" in params:

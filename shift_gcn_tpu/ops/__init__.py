@@ -15,3 +15,6 @@ from shift_gcn_tpu.ops.temporal_shift import (  # noqa: F401
     temporal_shift,
     temporal_shift_inference,
 )
+from shift_gcn_tpu.ops.pallas.shift_gcn_kernel import (  # noqa: F401
+    fused_shift_gcn,
+)
