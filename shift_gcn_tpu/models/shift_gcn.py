@@ -425,13 +425,24 @@ def param_count(params: Params) -> int:
 
 def config_from_reference_args(model_args: Dict[str, Any]) -> ModelConfig:
     """Build a ModelConfig from reference-style YAML ``model_args``
-    (num_class/num_point/num_person/graph/graph_args/in_channels)."""
+    (num_class/num_point/num_person/graph/graph_args/in_channels), plus the
+    TPU-native extension ``blocks``: a list of
+    [in_channels, out_channels, stride, residual] rows overriding the
+    default 10-block backbone."""
     graph_name = model_args.get("graph", "ntu_rgb_d")
     graph = get_graph(graph_name)
+    kwargs: Dict[str, Any] = {}
+    if "blocks" in model_args:
+        kwargs["blocks"] = tuple(
+            BlockSpec(int(b[0]), int(b[1]),
+                      stride=int(b[2]) if len(b) > 2 else 1,
+                      residual=bool(b[3]) if len(b) > 3 else True)
+            for b in model_args["blocks"])
     return ModelConfig(
         num_class=model_args.get("num_class", 60),
         num_point=model_args.get("num_point", graph.num_nodes),
         num_person=model_args.get("num_person", 2),
         graph=graph.name,
         in_channels=model_args.get("in_channels", 3),
+        **kwargs,
     )

@@ -50,9 +50,14 @@ import jax.numpy as jnp
 
 # Static temporal tap radius: taps k in [-MAX_SHIFT, MAX_SHIFT + 1].
 # Exact as long as ypos stays in [-MAX_SHIFT, MAX_SHIFT] (checked by
-# assert_in_range); xpos taps are fixed to {-1, 0, 1} since xpos receives
-# zero gradient (constraint) and only shrinks under weight decay.
-MAX_SHIFT = 8
+# assert_in_range; the trainer checks each checkpoint epoch).  xpos taps are
+# fixed to {-1, 0, 1} since xpos receives zero gradient (constraint) and
+# only shrinks under weight decay.  Override via SGT_MAX_SHIFT: smaller
+# radius = fewer conv taps = faster, valid while |ypos| stays inside it
+# (|ypos| <= 1 at init, moves in 0.01 steps).
+import os as _os
+
+MAX_SHIFT = int(_os.environ.get("SGT_MAX_SHIFT", "8"))
 
 
 def _hat_taps(pos: jax.Array, lo: int, hi: int) -> jax.Array:

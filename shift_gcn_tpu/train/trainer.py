@@ -92,8 +92,15 @@ class Trainer:
 
         if cfg.weights:
             self._load_weights(cfg.weights, cfg.ignore_weights)
-        if cfg.resume:
-            self._resume(cfg.resume)
+        resume = cfg.resume
+        if resume == "auto":
+            # elastic-restart convenience: continue from the newest
+            # checkpoint if one exists, else start fresh
+            resume = ckpt_lib.latest_checkpoint(self.save_dir)
+            if resume:
+                self.logger.log(f"Auto-resume found checkpoint: {resume}")
+        if resume:
+            self._resume(resume)
 
         self._build_steps()
         self._load_data()
@@ -329,7 +336,17 @@ class Trainer:
             pickle.dump(score_dict, f)
         return accuracy
 
+    def check_shift_range(self) -> None:
+        """Guard the static temporal tap radius: every Shift's ypos must
+        stay inside MAX_SHIFT or results silently clip."""
+        from shift_gcn_tpu.ops.temporal_shift import assert_in_range
+
+        for name, leaf in _flatten(self.state.params):
+            if name.endswith("ypos"):
+                assert_in_range(leaf, name)
+
     def save(self, epoch: int) -> str:
+        self.check_shift_range()
         payload = {
             "params": self.state.params,
             "bn_state": self.state.bn_state,
