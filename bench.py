@@ -35,6 +35,8 @@ def main() -> None:
                         "scaling efficiency across the local mesh")
     args = parser.parse_args()
 
+    if not args.smoke:
+        _device_sanity_check()
     if args.mode == "spmm":
         _bench_spmm(args)
         return
@@ -86,14 +88,21 @@ def main() -> None:
         state, metrics = train_step(state, batch, lr)
     jax.block_until_ready(metrics)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        batch = jax.device_put(host_batch)
-        state, metrics = train_step(state, batch, lr)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = steps * batch_size / dt
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            batch = jax.device_put(host_batch)
+            state, metrics = train_step(state, batch, lr)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+        clips_per_sec = steps * batch_size / dt
+        # a full train step on one chip cannot plausibly exceed ~3000
+        # clips/s — faster readings mean the zombie-worker no-op mode
+        if args.smoke or clips_per_sec < 3000:
+            break
+        print(f"# implausible throughput {clips_per_sec:.0f} clips/s; "
+              "re-checking device", flush=True)
+        _device_sanity_check()
     print(json.dumps({
         "metric": "train_clips_per_sec",
         "value": round(clips_per_sec, 2),
@@ -112,6 +121,32 @@ def _timeit(fn, *args, steps=20):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / steps
+
+
+def _device_sanity_check(max_tries=20, wait_s=60):
+    """Verify the accelerator actually computes (this platform's remote TPU
+    worker can enter a zombie state where executions no-op instantly and
+    return garbage). Retries with backoff until numerics check out."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1234)
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    b = rng.standard_normal((128, 128)).astype(np.float32)
+    want = a @ b
+    for attempt in range(max_tries):
+        try:
+            got = np.asarray(
+                jnp.asarray(a) @ jnp.asarray(b))
+            if np.allclose(got, want, atol=1e-2):
+                return
+            print(f"# device sanity check failed numerics "
+                  f"(attempt {attempt + 1}); waiting", flush=True)
+        except Exception as e:  # worker restarting
+            print(f"# device error: {type(e).__name__} "
+                  f"(attempt {attempt + 1}); waiting", flush=True)
+        time.sleep(wait_s)
+    raise RuntimeError("accelerator failed sanity checks; aborting bench")
 
 
 def _bench_eval(args):

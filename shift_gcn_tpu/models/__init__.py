@@ -1,3 +1,4 @@
+from shift_gcn_tpu.models import stgcn  # noqa: F401
 from shift_gcn_tpu.models.shift_gcn import (  # noqa: F401
     BlockSpec,
     ModelConfig,
