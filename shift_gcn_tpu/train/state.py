@@ -28,9 +28,10 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    key: jax.Array, config: shift_gcn.ModelConfig
+    key: jax.Array, config, init_fn=None
 ) -> TrainState:
-    params, bn_state = shift_gcn.init_params(key, config)
+    init_fn = init_fn or shift_gcn.init_params
+    params, bn_state = init_fn(key, config)
     return TrainState(
         params=params,
         bn_state=bn_state,
@@ -51,15 +52,17 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_train_step(config: shift_gcn.ModelConfig, wd_tree: Any,
-                    axis_name: Optional[str] = None):
+def make_train_step(config, wd_tree: Any,
+                    axis_name: Optional[str] = None, apply_fn=None):
     """Build the train step fn: (state, batch, lr) -> (state, metrics).
 
     batch: dict with 'data' (N,C,T,V,M) float32, 'label' (N,) int32.
+    `apply_fn` selects the model family (default: shift_gcn.apply).
     """
+    model_apply = apply_fn or shift_gcn.apply
 
     def loss_fn(params, bn_state, data, label):
-        logits, new_bn_state = shift_gcn.apply(
+        logits, new_bn_state = model_apply(
             params, bn_state, data, config, training=True,
             axis_name=axis_name)
         loss = cross_entropy(logits, label)
@@ -89,16 +92,17 @@ def make_train_step(config: shift_gcn.ModelConfig, wd_tree: Any,
     return train_step
 
 
-def make_eval_step(config: shift_gcn.ModelConfig):
+def make_eval_step(config, apply_fn=None):
     """Build the eval step: (params, bn_state, batch) -> (logits, loss_sum, n).
 
     Uses running BN stats (training=False); padded samples are masked out of
     the loss, logits are returned for score aggregation (the reference dumps
     per-sample scores for the ensemble, main.py:493-515).
     """
+    model_apply = apply_fn or shift_gcn.apply
 
     def eval_step(params, bn_state, batch):
-        logits, _ = shift_gcn.apply(
+        logits, _ = model_apply(
             params, bn_state, batch["data"], config, training=False)
         mask = batch.get("mask")
         logp = jax.nn.log_softmax(logits, axis=-1)

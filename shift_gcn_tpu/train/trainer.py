@@ -60,15 +60,18 @@ class Trainer:
         if cfg.phase == "train" and cfg.overwrite:
             self._cleanup_previous_run()
 
-        self.model_config = shift_gcn.config_from_reference_args(
-            cfg.model_args)
+        from shift_gcn_tpu.models.registry import get_model
+
+        self.family = get_model(cfg.model)
+        self.model_config = self.family.build_config(cfg.model_args)
         import dataclasses
         overrides = {}
-        if cfg.compute_dtype:
+        valid = {f.name for f in dataclasses.fields(self.model_config)}
+        if cfg.compute_dtype and "compute_dtype" in valid:
             overrides["compute_dtype"] = cfg.compute_dtype
-        if cfg.remat:
+        if cfg.remat and "remat" in valid:
             overrides["remat"] = True
-        if cfg.use_pallas:
+        if cfg.use_pallas and "use_pallas" in valid:
             overrides["use_pallas"] = True
         if overrides:
             self.model_config = dataclasses.replace(
@@ -85,7 +88,8 @@ class Trainer:
                     f"{name}={bs} must be divisible by the data mesh axis "
                     f"({data_axis} devices)")
         self.state = state_lib.create_train_state(
-            jax.random.key(cfg.seed), self.model_config)
+            jax.random.key(cfg.seed), self.model_config,
+            init_fn=self.family.init)
         self.wd_tree = build_weight_decay_tree(self.state.params)
         self.best_acc = 0.0
         self.start_epoch = cfg.start_epoch
@@ -125,8 +129,9 @@ class Trainer:
 
     def _build_steps(self) -> None:
         train_step = state_lib.make_train_step(
-            self.model_config, self.wd_tree)
-        eval_step = state_lib.make_eval_step(self.model_config)
+            self.model_config, self.wd_tree, apply_fn=self.family.apply)
+        eval_step = state_lib.make_eval_step(
+            self.model_config, apply_fn=self.family.apply)
         donate = (0,) if self.cfg.donate_state else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
