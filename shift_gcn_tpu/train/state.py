@@ -66,18 +66,17 @@ def make_train_step(config, wd_tree: Any,
             params, bn_state, data, config, training=True,
             axis_name=axis_name)
         loss = cross_entropy(logits, label)
-        return loss, (logits, new_bn_state)
+        return loss, (loss, logits, new_bn_state)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    lr: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        grads, (logits, new_bn_state) = jax.grad(
+        grads, (loss, logits, new_bn_state) = jax.grad(
             loss_fn, has_aux=True)(
                 state.params, state.bn_state, batch["data"], batch["label"])
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         new_params, new_opt_state = sgd_update(
             state.params, grads, state.opt_state, lr, wd_tree)
-        loss = cross_entropy(logits, batch["label"])
         acc = jnp.mean(
             (jnp.argmax(logits, axis=-1) == batch["label"]).astype(
                 jnp.float32))
