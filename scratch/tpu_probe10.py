@@ -3,11 +3,12 @@ import time
 import numpy as np
 
 def main():
+    import importlib
     import jax, jax.numpy as jnp
     print("health:", float((jnp.ones((8,8))@jnp.ones((8,8))).sum()), flush=True)
-    import shift_gcn_tpu.ops.temporal_shift as ts_mod
-    import shift_gcn_tpu.ops.spatial_shift as ss_mod
-    import shift_gcn_tpu.ops.batchnorm as bn_mod
+    ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+    ss_mod = importlib.import_module("shift_gcn_tpu.ops.spatial_shift")
+    bn_mod = importlib.import_module("shift_gcn_tpu.ops.batchnorm")
     from shift_gcn_tpu.models.shift_gcn import ModelConfig
     from shift_gcn_tpu.train.optim import build_weight_decay_tree
     from shift_gcn_tpu.train.state import create_train_state, make_train_step

@@ -30,7 +30,8 @@ from shift_gcn_tpu.graphs import get_graph
 from shift_gcn_tpu.ops.batchnorm import batch_norm, init_bn
 from shift_gcn_tpu.ops.conv import pointwise_conv, temporal_conv
 from shift_gcn_tpu.ops.spatial_shift import shift_gcn_transform
-from shift_gcn_tpu.ops.temporal_shift import temporal_shift
+from shift_gcn_tpu.ops.temporal_shift import (
+    temporal_shift, temporal_shift_linear)
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
@@ -294,14 +295,29 @@ def _apply_shift_tcn(
 
     x: (N, T, V, C) -> (N, T//stride, V, C_out).
     """
+    import importlib
+    import os as _os
+    # NB: must be importlib — `shift_gcn_tpu.ops` re-exports the
+    # `temporal_shift` *function*, shadowing the submodule name
+    _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+
     h, bn_state = batch_norm(
         x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
         training=training, axis_name=axis_name)
-    h = temporal_shift(
-        h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1)
-    h = pointwise_conv(
-        h, params["temporal_linear"]["weight"],
-        params["temporal_linear"]["bias"], compute_dtype=compute_dtype)
+    if (_os.environ.get("SGT_TCN_FUSE", "0") == "1"
+            and _ts_mod.ASSUME_XPOS_ZERO):
+        # fused shift_in + temporal_linear: one MXU conv
+        w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T
+        h = temporal_shift_linear(
+            h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
+            w2, params["temporal_linear"]["bias"])
+    else:
+        h = temporal_shift(
+            h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1)
+        h = pointwise_conv(
+            h, params["temporal_linear"]["weight"],
+            params["temporal_linear"]["bias"],
+            compute_dtype=compute_dtype)
     h = jax.nn.relu(h)
     h = temporal_shift(
         h, params["shift_out"]["xpos"], params["shift_out"]["ypos"], stride)

@@ -59,11 +59,45 @@ def spatial_shift(x: jax.Array, direction: int) -> jax.Array:
 
     Returns:
       Shifted array, same shape.
+
+    Lowering is selected by SGT_SSHIFT_IMPL: "gather" (take_along_axis,
+    default), "roll" (log2(V) conditional-roll decomposition — no gather
+    op, only slices/selects XLA can fuse), "onehot" (permutation matmul).
     """
+    import os
+
+    impl = os.environ.get("SGT_SSHIFT_IMPL", "gather")
+    if impl == "roll":
+        return spatial_shift_roll(x, direction)
+    if impl == "onehot":
+        return spatial_shift_onehot(x, direction)
     v, c = x.shape[-2], x.shape[-1]
     idx = jnp.asarray(shift_indices(v, c, direction))
     idx = idx.reshape((1,) * (x.ndim - 2) + (v, c))
     return jnp.take_along_axis(x, idx, axis=-2)
+
+
+def spatial_shift_roll(x: jax.Array, direction: int) -> jax.Array:
+    """`spatial_shift` via binary roll decomposition.
+
+    The per-channel roll amount a(c) = (direction*c) mod V is static, so
+    out[v,c] = x[(v+a(c)) % V, c] decomposes into ceil(log2 V) stages:
+    stage k rolls by 2^k and keeps the rolled value only for channels whose
+    amount has bit k set.  Every stage is slice+concat+select — ops XLA
+    fuses into vector code with no gather (TPU gathers over the
+    sublane/lane-tiled (V, C) trailing axes serialize badly).
+    """
+    v, c = x.shape[-2], x.shape[-1]
+    amt = (direction * np.arange(c)) % v  # (C,) static
+    y = x
+    step = 1
+    while step < v:
+        mask_np = ((amt // step) % 2) == 1
+        if mask_np.any():
+            rolled = jnp.roll(y, -step, axis=-2)
+            y = jnp.where(jnp.asarray(mask_np), rolled, y)
+        step *= 2
+    return y
 
 
 def spatial_shift_onehot(x: jax.Array, direction: int) -> jax.Array:
@@ -89,6 +123,12 @@ def shift_gcn_transform(
     multiply by gate (tanh(mask)+1), pointwise matmul + bias, shift_out.
     BatchNorm / residual / relu live in the model layer.
 
+    Lowering selected by SGT_SGCN_IMPL: "circconv" (default) folds the
+    whole chain into one circulant MXU conv (see
+    `shift_gcn_transform_circconv`); "chain" keeps the explicit
+    gather→mul→matmul→gather sequence.  Measured (TPU v5e, batch 64,
+    T=300): circconv 232 train / 1042 eval clips/s vs chain 218 / 686.
+
     Args:
       x: (..., V, C_in).
       weight: (C_in, C_out) — torch `Linear_weight` shape.
@@ -99,6 +139,11 @@ def shift_gcn_transform(
     Returns:
       (..., V, C_out).
     """
+    import os
+
+    if os.environ.get("SGT_SGCN_IMPL", "circconv") == "circconv":
+        return shift_gcn_transform_circconv(
+            x, weight, bias, feature_mask, compute_dtype=compute_dtype)
     h = spatial_shift(x, +1)
     gate = jnp.tanh(feature_mask.reshape(x.shape[-2], x.shape[-1])) + 1.0
     h = h * gate
@@ -109,3 +154,63 @@ def shift_gcn_transform(
         "...vc,cd->...vd", h, weight, preferred_element_type=jnp.float32)
     out = out + bias.reshape((1,) * (out.ndim - 1) + (out.shape[-1],))
     return spatial_shift(out, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _circulant_mask(v: int, c: int, d: int) -> np.ndarray:
+    """(V, C, D) 0/1 mask with M[s, c, d] = [s == (c - d) mod V]."""
+    s = (np.arange(c)[:, None] - np.arange(d)[None, :]) % v  # (C, D)
+    m = np.zeros((v, c, d), dtype=np.float32)
+    m[s, np.arange(c)[:, None], np.arange(d)[None, :]] = 1.0
+    return m
+
+
+def shift_gcn_transform_circconv(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    feature_mask: jax.Array,
+    *,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """The spatial Shift-GCN transform as ONE circulant conv (MXU-native).
+
+    Folding the chain y = P_out((P_in(x) * gate) @ W + b) algebraically:
+
+        y[v,d] = sum_c W[c,d] * x[(v-d+c)%V, c] * gate[(v-d)%V, c]
+               = sum_s sum_c K[s,c,d] * u[(v+s)%V, c]
+
+    with u = x ⊙ P_out(gate) and K[s,c,d] = W[c,d]·[s == (c-d) mod V] —
+    i.e. a circular 1-D convolution over the joint axis whose kernel is the
+    weight matrix scattered along its circulant diagonal.  Both per-channel
+    permutations disappear into the conv's index arithmetic: no gathers,
+    one implicit-GEMM conv that XLA tiles onto the MXU.  V× more MACs than
+    the pointwise matmul, but the MXU is idle in the gather formulation —
+    this trades dead FLOPs for the elimination of all permutation traffic.
+    Gradients (w.r.t. x, W via the mask, gate) come from ordinary conv/mul
+    autodiff — the reference has no trickery in this op (its true autograd
+    is used here too: model/shift_gcn.py:121-136 is plain torch).
+    """
+    v, c = x.shape[-2], x.shape[-1]
+    d = weight.shape[-1]
+    gate = jnp.tanh(feature_mask.reshape(v, c)) + 1.0
+    g2 = spatial_shift(gate[None], -1)[0]                 # (V, C) tiny
+    u = x * g2
+    kern = jnp.asarray(_circulant_mask(v, c, d)) * weight[None]  # (V, C, D)
+    if compute_dtype is not None:
+        u = u.astype(compute_dtype)
+        kern = kern.astype(compute_dtype)
+    lead = x.shape[:-2]
+    u2 = u.reshape((-1, v, c))
+    u_pad = jnp.concatenate([u2, u2[:, : v - 1]], axis=1)  # circular pad
+    # conv runs uniformly in the compute dtype (mixed dtypes break the
+    # conv transpose rule); MXU accumulation is fp32 regardless, and the
+    # result is promoted back to fp32 for bias/BN
+    out = jax.lax.conv_general_dilated(
+        u_pad, kern,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=u_pad.dtype)                # (R, V, D)
+    out = out.astype(jnp.float32) + bias.reshape(1, 1, d)
+    return out.reshape(lead + (v, d))

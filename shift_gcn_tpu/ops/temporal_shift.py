@@ -59,6 +59,17 @@ import os as _os
 
 MAX_SHIFT = int(_os.environ.get("SGT_MAX_SHIFT", "8"))
 
+# When set (default on), lower the joint-axis (xpos) interpolation as the
+# identity, making the shift a pure temporal-tap conv (1/3 the tap work).
+# Justified by the reference's own semantics: xpos init is U(-1e-8, 1e-8)
+# (shift.py:42), its gradient is hard-zeroed by the constraint kernel
+# (shift_cuda_kernel.cu:386), and weight decay only shrinks it — so
+# |xpos| <= 1e-8 for the entire life of any run and its bilinear
+# contribution is below fp32 rounding.  Set SGT_EXACT_XPOS=1 to keep the
+# exact 3-tap joint-axis pass (used by the oracle parity tests, which
+# exercise artificially large xpos).
+ASSUME_XPOS_ZERO = _os.environ.get("SGT_EXACT_XPOS", "0") != "1"
+
 
 def _hat_taps(pos: jax.Array, lo: int, hi: int) -> jax.Array:
     """(Q, C) interpolation taps: tap[q, c] = max(0, 1 - |pos[c] - (lo+q)|)."""
@@ -92,13 +103,16 @@ def _shift_conv_dw(
     """
     n, t_in, v_in, c = x.shape
     qt = taps_t.shape[0]
-    qv = taps_v.shape[0]
     t_out = t_in // stride
-    kernel = (taps_t[:, None, None, :] * taps_v[None, :, None, :]).astype(
-        x.dtype)  # (Qt, Qv, 1, C)
     pad_t_lo = -t_lo
     pad_t_hi = (t_out - 1) * stride + qt + t_lo - t_in
-    pad_v = 1  # v taps are {-1, 0, 1}
+    if taps_v is None:  # xpos treated as exactly 0: temporal taps only
+        kernel = taps_t[:, None, None, :].astype(x.dtype)  # (Qt, 1, 1, C)
+        pad_v = 0
+    else:
+        kernel = (taps_t[:, None, None, :]
+                  * taps_v[None, :, None, :]).astype(x.dtype)  # (Qt,Qv,1,C)
+        pad_v = 1  # v taps are {-1, 0, 1}
     return jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -129,11 +143,14 @@ def _shift_conv_slices(
     qt = taps_t.shape[0]
     t_out = t_in // stride
 
-    # joint-axis pass: taps anchored at {-1, 0, +1}
-    xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    h = sum(
-        jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
-        for j in range(taps_v.shape[0]))
+    # joint-axis pass: taps anchored at {-1, 0, +1} (skipped when xpos==0)
+    if taps_v is None:
+        h = x
+    else:
+        xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        h = sum(
+            jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
+            for j in range(taps_v.shape[0]))
 
     # temporal pass: tap q reads h[t*stride + t_lo + q]
     pad_lo = -t_lo
@@ -150,10 +167,67 @@ def _shift_conv_slices(
     return out
 
 
+def _shift_roll(
+    x: jax.Array,
+    pos: jax.Array,
+    taps_v: Optional[jax.Array],
+    stride: int,
+    span: int,
+    mode: str = "hat",
+) -> jax.Array:
+    """Temporal shift via dynamic per-channel integer rolls + 2-tap combine.
+
+    The hat taps are bilinear: at most two adjacent temporal taps are
+    nonzero per channel, yet the conv lowering pays for all 2*span+2 taps.
+    Here the integer part of the shift becomes a per-channel roll —
+    decomposed into ~log2(span) conditional fixed shifts on the zero-padded
+    time axis (roll amounts are traced; the masks are `where` selects over
+    the channel axis) — and the fractional part a two-slice lerp
+    (mode="hat") or difference (mode="diff", the position-gradient corner
+    difference of shift_cuda_kernel.cu:343-344).
+    """
+    n, t_in, v_in, c = x.shape
+    t_out = t_in // stride
+    if taps_v is not None:
+        xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        x = sum(
+            jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
+            for j in range(taps_v.shape[0]))
+
+    lo = jnp.floor(pos).astype(jnp.int32)          # (C,) in [-span, span]
+    frac = (pos - lo.astype(pos.dtype))            # (C,) in [0, 1)
+    amt = lo + span                                # (C,) in [0, 2*span]
+    # zero-pad so every read x[t*stride + lo + {0,1}] lands in-bounds;
+    # rolls shift in zeros (concat, not circular) so nothing wraps
+    pad_lo = span
+    pad_hi = max((t_out - 1) * stride + span + 3 - t_in, 0)
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
+    # per-channel left-shift by amt: y[i] = xp[i + amt] (zeros beyond)
+    y = xp
+    step = 1
+    while step <= 2 * span:
+        shifted = jnp.concatenate(
+            [y[:, step:], jnp.zeros_like(y[:, :step])], axis=1)
+        bit = (amt // step) % 2 == 1               # (C,) traced bool
+        y = jnp.where(bit[None, None, None, :], shifted, y)
+        step *= 2
+    # y[i] == x_orig[i + lo]; sample the strided window
+    y0 = jax.lax.slice(y, (0, 0, 0, 0),
+                       (n, (t_out - 1) * stride + 1, v_in, c),
+                       (1, stride, 1, 1))
+    y1 = jax.lax.slice(y, (0, 1, 0, 0),
+                       (n, (t_out - 1) * stride + 2, v_in, c),
+                       (1, stride, 1, 1))
+    if mode == "diff":
+        return y1 - y0
+    return y0 * (1.0 - frac) + y1 * frac
+
+
 def _shift_conv(x, taps_t, taps_v, stride, t_lo):
     # Lowering choice (measured on TPU v5e, batch 64, T=300):
     #   conv : train 193 clips/s, eval 683 clips/s  <- default
     #   slice: eval 277 clips/s, backward OOMs at batch 64
+    # (the "roll" impl is dispatched in _forward/_backward, not here)
     # Known platform issue: at very small T (T//4 < tap window) the eval
     # graph faults the remote TPU worker under BOTH lowerings; use T >= 128
     # on this platform (standard clips are T=300).
@@ -167,8 +241,10 @@ def _shift_conv(x, taps_t, taps_v, stride, t_lo):
 
 def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
              stride: int) -> jax.Array:
+    taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
+    if _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "roll":
+        return _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT)
     taps_t = _hat_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
-    taps_v = _hat_taps(xpos, -1, 1)
     return _shift_conv(x, taps_t, taps_v, stride, -MAX_SHIFT)
 
 
@@ -208,9 +284,13 @@ def _temporal_shift_bwd(stride, residuals, g):
 
     # raw position grad along y: corner-difference conv then
     # mean-over-batch, sum-over-(T, V) (cu:343-349, 501-509).
-    dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
-    taps_v = _hat_taps(xpos, -1, 1)
-    dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)
+    taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
+    if _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "roll":
+        dval_y = _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT,
+                             mode="diff")
+    else:
+        dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
+        dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)
     gy_raw = jnp.sum(jnp.mean(dval_y * g, axis=0), axis=(0, 1))
 
     # constraint (cu:370-395): fixed-magnitude steps, xpos frozen.
@@ -223,6 +303,84 @@ def _temporal_shift_bwd(stride, residuals, g):
 
 
 temporal_shift.defvjp(_temporal_shift_fwd, _temporal_shift_bwd)
+
+
+def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
+                bias: jax.Array) -> jax.Array:
+    """out = pointwise(temporal_shift(x)) as ONE dense temporal conv.
+
+    x: (N, T, V, C); taps_t: (Qt, C); w: (C, D).  Kernel
+    K[k, 0, c, d] = taps_t[k, c] * w[c, d] — the per-channel shift taps
+    scattered into the channel-mixing conv, so the whole
+    shift→1x1-matmul chain runs as one implicit-GEMM conv on the MXU
+    instead of a bandwidth-bound depthwise pass followed by a matmul.
+    """
+    qt = taps_t.shape[0]
+    kernel = (taps_t[:, None, :, None] * w[None, None, :, :]).astype(x.dtype)
+    pad_lo = MAX_SHIFT
+    pad_hi = qt - MAX_SHIFT - 1
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return out + bias.reshape(1, 1, 1, -1)
+
+
+@jax.custom_vjp
+def temporal_shift_linear(
+    x: jax.Array, xpos: jax.Array, ypos: jax.Array,
+    w: jax.Array, bias: jax.Array,
+) -> jax.Array:
+    """Fused stride-1 temporal shift + pointwise linear.
+
+    Equivalent to ``pointwise(temporal_shift(x, xpos, ypos, 1), w, bias)``
+    (reference: Shift_tcn's shift_in then temporal_linear,
+    model/shift_gcn.py:66-69) in a single MXU conv.  Requires the
+    xpos-zero lowering (ASSUME_XPOS_ZERO); falls back implicitly since
+    callers gate on that flag.
+
+    Gradients: true VJPs for x / w / bias (the reference backpropagates
+    normally through the conv, main.py:412-414); position grads follow the
+    constraint kernel — xpos := 0, ypos := ±0.01 fixed-magnitude steps
+    (shift_cuda_kernel.cu:370-395) with the raw sign taken from the
+    corner-difference inner product at the *shift output* cotangent
+    (i.e. grad w.r.t. the pre-matmul activation, g @ W^T).
+    """
+    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    return _fused_conv(x, taps_t, w, bias)
+
+
+def _tsl_fwd(x, xpos, ypos, w, bias):
+    return temporal_shift_linear(x, xpos, ypos, w, bias), (x, xpos, ypos, w)
+
+
+def _tsl_bwd(residuals, g):
+    x, xpos, ypos, w = residuals
+    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+
+    # true grads for x / w / bias through the conv, taps held constant
+    _, vjp_fn = jax.vjp(
+        lambda xx, ww, bb: _fused_conv(xx, taps_t, ww, bb),
+        x, w, jnp.zeros((w.shape[1],), x.dtype))
+    grad_x, grad_w, grad_b = vjp_fn(g)
+
+    # constraint ypos grad: cotangent at the shift output is g @ W^T
+    g_h = jnp.einsum("ntvd,cd->ntvc", g, w,
+                     preferred_element_type=jnp.float32)
+    dtaps_t = _floor_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    dval_y = _shift_conv(x, dtaps_t, None, 1, -MAX_SHIFT)
+    gy_raw = jnp.sum(jnp.mean(dval_y * g_h, axis=0), axis=(0, 1))
+    dr = jnp.abs(gy_raw)
+    gy = jnp.where(dr != 0,
+                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
+                   1e-4)
+    gx_pos = jnp.zeros_like(xpos)
+    return grad_x, gx_pos, gy, grad_w, grad_b
+
+
+temporal_shift_linear.defvjp(_tsl_fwd, _tsl_bwd)
 
 
 def temporal_shift_inference(

@@ -72,6 +72,10 @@ class ExperimentConfig:
     profile_dir: Optional[str] = None       # jax.profiler trace output dir
     profile_steps: int = 5                  # steps traced at epoch start
     debug_nans: bool = False                # jax nan-checking mode
+    device_guard: bool = True               # epoch-boundary health check +
+                                            # self-healing re-exec (resume
+                                            # from last checkpoint) when the
+                                            # remote TPU worker zombies
 
     def resolved_work_dir(self) -> str:
         return os.path.join(self.work_dir, self.Experiment_name)
@@ -81,7 +85,7 @@ class ExperimentConfig:
 
 
 _BOOL_KEYS = {"save_score", "print_log", "nesterov", "only_train_part",
-              "overwrite", "sync_bn", "donate_state"}
+              "overwrite", "sync_bn", "donate_state", "device_guard"}
 
 
 def _coerce(value: str, current: Any) -> Any:

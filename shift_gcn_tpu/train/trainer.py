@@ -210,7 +210,8 @@ class Trainer:
             self.logger.log(f"Parameters:\n{cfg}\n")
             for epoch in range(self.start_epoch, cfg.num_epoch):
                 is_last = epoch + 1 == cfg.num_epoch
-                self.train_epoch(epoch)
+                stats = self.train_epoch(epoch)
+                self._guard_device(stats)
                 if is_last or (epoch + 1) % cfg.save_interval == 0:
                     self.save(epoch)
                 if is_last or (epoch + 1) % cfg.eval_interval == 0:
@@ -340,6 +341,33 @@ class Trainer:
                 eval_dir, f"epoch_{epoch}_{accuracy}.pkl"), "wb") as f:
             pickle.dump(score_dict, f)
         return accuracy
+
+    def _guard_device(self, epoch_stats: Dict[str, float]) -> None:
+        """Epoch-boundary health check against the platform's zombie-worker
+        mode (executions no-op instantly and return garbage).  Suspicion
+        triggers: implausibly fast epoch, or a non-finite mean loss.  A
+        confirmed-dead device cannot be trusted to serialize the train
+        state, so recovery is re-exec + resume from the last checkpoint.
+        """
+        if not self.cfg.device_guard:
+            return
+        from shift_gcn_tpu.utils import device_guard
+
+        suspicious = (
+            not device_guard.plausible_throughput(
+                epoch_stats.get("clips_per_sec", 0.0))
+            or not np.isfinite(epoch_stats.get("loss", 0.0)))
+        if not suspicious:
+            return
+        self.logger.log(
+            "\tSuspicious epoch reading "
+            f"({epoch_stats.get('clips_per_sec', 0):.0f} clips/s, "
+            f"loss={epoch_stats.get('loss', float('nan'))}); "
+            "checking device health")
+        try:
+            device_guard.check(logger=self.logger)
+        except device_guard.DeviceUnhealthyError:
+            device_guard.reexec_with_resume(logger=self.logger)
 
     def check_shift_range(self) -> None:
         """Guard the static temporal tap radius: every Shift's ypos must

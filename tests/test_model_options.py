@@ -79,3 +79,33 @@ def test_shift_impls_agree_through_model():
         outs[impl] = np.asarray(f(params, state, x))
     os.environ.pop("SGT_TSHIFT_IMPL", None)
     np.testing.assert_allclose(outs["slice"], outs["conv"], atol=1e-4)
+
+
+@pytest.mark.parametrize("env_key,env_val", [
+    ("SGT_SGCN_IMPL", "chain"),      # explicit spatial chain vs default
+    ("SGT_TCN_FUSE", "1"),           # fused temporal shift+linear
+])
+def test_fused_lowerings_match_default_train_step(monkeypatch,
+                                                  env_key, env_val):
+    """Whole-model equivalence: fused paths must reproduce the default
+    lowering's loss AND post-step params (true grads + constraint grads)."""
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    cfg = _cfg()
+
+    def run():
+        state = create_train_state(jax.random.key(0), cfg)
+        wd = build_weight_decay_tree(state.params)
+        step = jax.jit(make_train_step(cfg, wd))
+        new_state, metrics = step(state, batch, lr)
+        return new_state, metrics
+
+    base_state, base_metrics = run()
+    monkeypatch.setenv(env_key, env_val)
+    fused_state, fused_metrics = run()
+    np.testing.assert_allclose(float(base_metrics["loss"]),
+                               float(fused_metrics["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                    jax.tree_util.tree_leaves(fused_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -40,6 +40,66 @@ def test_onehot_path_matches_gather():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.parametrize("v,c", [(33, 64), (25, 3), (33, 256), (7, 5)])
+@pytest.mark.parametrize("sign", [+1, -1])
+def test_roll_path_matches_gather(v, c, sign):
+    from shift_gcn_tpu.ops.spatial_shift import spatial_shift_roll
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, v, c)).astype(np.float32)
+    a = np.asarray(spatial_shift(jnp.asarray(x), sign))
+    b = np.asarray(spatial_shift_roll(jnp.asarray(x), sign))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("v,cin,cout", [(33, 64, 64), (25, 3, 64), (7, 5, 9)])
+def test_circconv_transform_matches_chain(v, cin, cout, monkeypatch):
+    import jax
+    from shift_gcn_tpu.ops.spatial_shift import shift_gcn_transform_circconv
+
+    monkeypatch.setenv("SGT_SGCN_IMPL", "chain")  # baseline = explicit chain
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 4, v, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    fm = jnp.asarray(rng.standard_normal((1, v, cin)), jnp.float32)
+    a = np.asarray(shift_gcn_transform(x, w, b, fm))
+    c = np.asarray(shift_gcn_transform_circconv(x, w, b, fm))
+    np.testing.assert_allclose(c, a, atol=5e-5)
+
+    def make_loss(fn):
+        def f(xx, ww, fmm):
+            return jnp.sum(fn(xx, ww, b, fmm) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    for ga, gc in zip(make_loss(shift_gcn_transform)(x, w, fm),
+                      make_loss(shift_gcn_transform_circconv)(x, w, fm)):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(ga),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_env_selects_circconv_impl(monkeypatch):
+    monkeypatch.setenv("SGT_SGCN_IMPL", "circconv")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((3, 25, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((6, 8)) * 0.1, jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    fm = jnp.zeros((1, 25, 6), jnp.float32)
+    got = np.asarray(shift_gcn_transform(x, w, b, fm))
+    monkeypatch.setenv("SGT_SGCN_IMPL", "chain")
+    want = np.asarray(shift_gcn_transform(x, w, b, fm))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_env_selects_roll_impl(monkeypatch):
+    monkeypatch.setenv("SGT_SSHIFT_IMPL", "roll")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 25, 8)).astype(np.float32)
+    want = _flat_shift_oracle(x.reshape(2, 200), 25, 8, +1).reshape(2, 25, 8)
+    got = np.asarray(spatial_shift(jnp.asarray(x), +1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_roundtrip_inverse():
     # shift_out with the same channel count undoes shift_in only when C==C';
     # check shift is a permutation (preserves multiset).

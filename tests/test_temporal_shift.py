@@ -2,12 +2,31 @@
 documented CUDA kernel semantics (shift_cuda_kernel.cu), including the
 non-gradient constraint backward."""
 
+import importlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
 from shift_gcn_tpu.ops import temporal_shift
+
+_ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+
+
+@pytest.fixture(autouse=True, params=[
+    ("conv", False), ("conv", True),
+    ("slice", True), ("roll", False), ("roll", True),
+])
+def _shift_impl(request, monkeypatch):
+    """Run every oracle test under each lowering x xpos-handling mode.
+
+    (impl, assume_xpos_zero); the oracle uses realistic |xpos| <= 1e-8 so
+    both xpos modes must agree with it to fp32 tolerance."""
+    impl, xz = request.param
+    monkeypatch.setenv("SGT_TSHIFT_IMPL", impl)
+    monkeypatch.setattr(_ts_mod, "ASSUME_XPOS_ZERO", xz)
+    yield
 
 
 def _np_forward(x, xpos, ypos, stride):
