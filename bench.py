@@ -29,10 +29,12 @@ def main() -> None:
     parser.add_argument("--compute-dtype", default=None,
                         help="e.g. bfloat16 for matmul inputs")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "eval", "spmm", "scaling"],
+                        choices=["train", "eval", "spmm", "scaling",
+                                 "fourstream"],
                         help="train step clips/s (default), eval clips/s, "
-                        "sparse-aggregation edges/s, or data-parallel "
-                        "scaling efficiency across the local mesh")
+                        "sparse-aggregation edges/s, data-parallel "
+                        "scaling efficiency across the local mesh, or "
+                        "concurrent four-stream training stream-clips/s")
     args = parser.parse_args()
 
     if not args.smoke:
@@ -45,6 +47,9 @@ def main() -> None:
         return
     if args.mode == "scaling":
         _bench_scaling(args)
+        return
+    if args.mode == "fourstream":
+        _bench_fourstream(args)
         return
 
     import jax
@@ -227,6 +232,52 @@ def _bench_spmm(args):
         "value": round(edges_per_sec / 1e9, 3),
         "unit": "Gedge/s",
         "vs_baseline": 0,
+    }))
+
+
+def _bench_fourstream(args):
+    """Concurrent four-stream training throughput in stream-clips/s (one
+    clip trained through all four modality models counts as 4).  The
+    reference covers the same workload as four sequential ~47 clips/s runs,
+    so vs_baseline is against 47 stream-clips/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from shift_gcn_tpu.graphs import get_graph
+    from shift_gcn_tpu.models.shift_gcn import ModelConfig
+    from shift_gcn_tpu.train import fourstream as fs
+    from shift_gcn_tpu.train.optim import build_weight_decay_tree
+
+    config = ModelConfig(
+        num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
+        compute_dtype=args.compute_dtype)
+    graph = get_graph(config.graph)
+    state4 = fs.create_fourstream_state(jax.random.key(0), config)
+    wd = build_weight_decay_tree(
+        jax.tree_util.tree_map(lambda x: x[0], state4.params))
+    step = jax.jit(fs.make_fourstream_train_step(config, wd, graph),
+                   donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "data": rng.standard_normal(
+            (args.batch_size, 3, 300, 33, 1)).astype(np.float32),
+        "label": rng.integers(0, 2, args.batch_size).astype(np.int32),
+    }
+    lr = jnp.asarray(0.1, jnp.float32)
+    for _ in range(2):
+        state4, metrics = step(state4, jax.device_put(host_batch), lr)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state4, metrics = step(state4, jax.device_put(host_batch), lr)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    stream_clips = args.steps * args.batch_size * len(fs.STREAMS) / dt
+    print(json.dumps({
+        "metric": "fourstream_stream_clips_per_sec",
+        "value": round(stream_clips, 2),
+        "unit": "stream-clips/s",
+        "vs_baseline": round(stream_clips / 47.0, 2),
     }))
 
 

@@ -72,6 +72,10 @@ class ExperimentConfig:
     profile_dir: Optional[str] = None       # jax.profiler trace output dir
     profile_steps: int = 5                  # steps traced at epoch start
     debug_nans: bool = False                # jax nan-checking mode
+    fourstream: bool = False                # train all 4 modality streams
+                                            # concurrently (vmapped stacked
+                                            # models, on-device bone/motion
+                                            # derivation from joint data)
     device_guard: bool = True               # epoch-boundary health check +
                                             # self-healing re-exec (resume
                                             # from last checkpoint) when the
@@ -85,7 +89,8 @@ class ExperimentConfig:
 
 
 _BOOL_KEYS = {"save_score", "print_log", "nesterov", "only_train_part",
-              "overwrite", "sync_bn", "donate_state", "device_guard"}
+              "overwrite", "sync_bn", "donate_state", "device_guard",
+              "fourstream"}
 
 
 def _coerce(value: str, current: Any) -> Any:

@@ -87,9 +87,16 @@ class Trainer:
                 raise ValueError(
                     f"{name}={bs} must be divisible by the data mesh axis "
                     f"({data_axis} devices)")
-        self.state = state_lib.create_train_state(
-            jax.random.key(cfg.seed), self.model_config,
-            init_fn=self.family.init)
+        if cfg.fourstream:
+            from shift_gcn_tpu.train import fourstream as fs
+
+            self.state = fs.create_fourstream_state(
+                jax.random.key(cfg.seed), self.model_config,
+                init_fn=self.family.init)
+        else:
+            self.state = state_lib.create_train_state(
+                jax.random.key(cfg.seed), self.model_config,
+                init_fn=self.family.init)
         self.wd_tree = build_weight_decay_tree(self.state.params)
         self.best_acc = 0.0
         self.start_epoch = cfg.start_epoch
@@ -128,11 +135,21 @@ class Trainer:
             os.remove(pkl)
 
     def _build_steps(self) -> None:
-        train_step = state_lib.make_train_step(
-            self.model_config, self.wd_tree, apply_fn=self.family.apply)
-        eval_step = state_lib.make_eval_step(
-            self.model_config, apply_fn=self.family.apply)
         donate = (0,) if self.cfg.donate_state else ()
+        if self.cfg.fourstream:
+            from shift_gcn_tpu.train import fourstream as fs
+
+            graph = fs.graph_for_config(self.model_config)
+            train_step = fs.make_fourstream_train_step(
+                self.model_config, self.wd_tree, graph,
+                apply_fn=self.family.apply)
+            eval_step = fs.make_fourstream_eval_step(
+                self.model_config, graph, apply_fn=self.family.apply)
+        else:
+            train_step = state_lib.make_train_step(
+                self.model_config, self.wd_tree, apply_fn=self.family.apply)
+            eval_step = state_lib.make_eval_step(
+                self.model_config, apply_fn=self.family.apply)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
 
@@ -262,12 +279,19 @@ class Trainer:
                     f"\tProfiler trace written to {cfg.profile_dir}")
             mark = time.time()
             timer["model"] += mark - now
-            if (int(self.state.global_step) % cfg.log_interval) == 0:
+            step_no = int(np.asarray(self.state.global_step).reshape(-1)[0])
+            loss_val = float(np.mean(np.asarray(metrics["loss"])))
+            if (step_no % cfg.log_interval) == 0:
+                extra = ""
+                if cfg.fourstream:
+                    per = np.asarray(metrics["loss"]).reshape(-1)
+                    extra = "  streams:" + "/".join(
+                        f"{v:.3f}" for v in per)
                 self.logger.log(
                     f"\tBatch({b}/{nb}) done. "
-                    f"Loss: {float(metrics['loss']):.4f}  lr:{lr:.6f}")
-            losses.append(float(metrics["loss"]))
-            accs.append(float(metrics["acc"]))
+                    f"Loss: {loss_val:.4f}  lr:{lr:.6f}{extra}")
+            losses.append(loss_val)
+            accs.append(float(np.mean(np.asarray(metrics["acc"]))))
             now = time.time()
             timer["statistics"] += now - mark
             mark = now
@@ -289,6 +313,8 @@ class Trainer:
 
     def evaluate(self, epoch: int, wrong_file: Optional[str] = None,
                  result_file: Optional[str] = None) -> float:
+        if self.cfg.fourstream:
+            return self._evaluate_fourstream(epoch)
         cfg = self.cfg
         self.logger.log(f"Eval epoch: {epoch + 1}")
         it = self.iterators["test"]
@@ -368,6 +394,65 @@ class Trainer:
             device_guard.check(logger=self.logger)
         except device_guard.DeviceUnhealthyError:
             device_guard.reexec_with_resume(logger=self.logger)
+
+    def _evaluate_fourstream(self, epoch: int) -> float:
+        """Eval all four streams + weighted ensemble in one pass.
+
+        Per-stream score pickles keep the reference's per-experiment file
+        contract (ensemble*.py consumes {sample_name: score} dicts); the
+        ensemble fusion itself is also computed here directly."""
+        from shift_gcn_tpu.train import fourstream as fs
+
+        cfg = self.cfg
+        self.logger.log(f"Eval epoch: {epoch + 1} (four-stream)")
+        it = self.iterators["test"]
+        feeder = self.feeders["test"]
+        scores4 = [[] for _ in fs.STREAMS]
+        ens_scores = []
+        loss_sum = np.zeros(len(fs.STREAMS))
+        n_sum = 0.0
+        for data, label, index, mask in it.epoch(0):
+            batch = mesh_lib.shard_batch(self.mesh, {
+                "data": data.astype(np.float32),
+                "label": label,
+                "mask": mask,
+            })
+            logits4, ensemble, lsum4, ns = self._eval_step(
+                self.state.params, self.state.bn_state, batch)
+            valid = mask > 0
+            logits4 = np.asarray(logits4)
+            for i in range(len(fs.STREAMS)):
+                scores4[i].append(logits4[i][valid])
+            ens_scores.append(np.asarray(ensemble)[valid])
+            loss_sum += np.asarray(lsum4)
+            n_sum += float(np.asarray(ns)[0])
+        ens = np.concatenate(ens_scores)
+        accuracy = feeder.top_k(ens, 1)
+        eval_dir = os.path.join(self.work_dir, "eval_results")
+        for i, stream in enumerate(fs.STREAMS):
+            s = np.concatenate(scores4[i])
+            acc_i = feeder.top_k(s, 1)
+            self.logger.log(
+                f"\t{stream}: loss {loss_sum[i] / max(n_sum, 1):.4f}  "
+                f"top1 {100 * acc_i:.2f}%")
+            with open(os.path.join(
+                    eval_dir, f"epoch_{epoch}_{stream}.pkl"), "wb") as f:
+                pickle.dump(dict(zip(feeder.sample_name, s)), f)
+        self.logger.log(f"\tensemble top1: {100 * accuracy:.2f}%")
+        score_dict = dict(zip(feeder.sample_name, ens))
+        if accuracy > self.best_acc:
+            self.best_acc = accuracy
+            with open(os.path.join(eval_dir, "best_acc.pkl"), "wb") as f:
+                pickle.dump(score_dict, f)
+            for i, stream in enumerate(fs.STREAMS):
+                with open(os.path.join(
+                        eval_dir, f"best_acc_{stream}.pkl"), "wb") as f:
+                    pickle.dump(dict(zip(feeder.sample_name,
+                                         np.concatenate(scores4[i]))), f)
+        with open(os.path.join(
+                eval_dir, f"epoch_{epoch}_{accuracy}.pkl"), "wb") as f:
+            pickle.dump(score_dict, f)
+        return accuracy
 
     def check_shift_range(self) -> None:
         """Guard the static temporal tap radius: every Shift's ypos must
