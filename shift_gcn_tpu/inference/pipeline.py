@@ -127,6 +127,50 @@ class EnsemblePredictor:
             self._models[modality] = self._load(path)
         self._forward = jax.jit(self._forward_impl)
 
+    @classmethod
+    def from_fourstream_checkpoint(
+        cls,
+        path: str,
+        model_config: Optional[ModelConfig] = None,
+        alpha: Sequence[float] = DEFAULT_ALPHA,
+        graph: str = "mediapipe_pose",
+    ) -> "EnsemblePredictor":
+        """Build the ensemble from ONE concurrent-fourstream checkpoint
+        (train/fourstream.py stores all four models stacked on axis 0;
+        stream order == MODALITY_ORDER == fourstream.STREAMS)."""
+        from shift_gcn_tpu.train import fourstream as fs
+        from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+        self = cls.__new__(cls)
+        self.config = model_config or ModelConfig(
+            num_class=2, num_point=33, num_person=1, graph=graph)
+        self.graph = get_graph(self.config.graph)
+        self.alpha = dict(zip(MODALITY_ORDER, alpha))
+        state4 = fs.create_fourstream_state(jax.random.key(0), self.config)
+        if os.path.isdir(path) and not os.path.basename(path).isdigit():
+            latest = ckpt_lib.latest_checkpoint(path)
+            if latest is None:
+                raise FileNotFoundError(f"no checkpoints under {path}")
+            path = latest
+        template = {
+            "params": state4.params, "bn_state": state4.bn_state,
+            "opt_state": state4.opt_state,
+            "global_step": state4.global_step,
+            "meta": {"epoch": 0, "best_acc": 0.0},
+        }
+        payload = ckpt_lib.restore_checkpoint(path, template)
+        self._models = {
+            stream: (
+                jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                       payload["params"]),
+                jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                       payload["bn_state"]),
+            )
+            for i, stream in enumerate(fs.STREAMS)
+        }
+        self._forward = jax.jit(self._forward_impl)
+        return self
+
     def _load(self, path: str):
         from shift_gcn_tpu.models.shift_gcn import init_params
         from shift_gcn_tpu.utils import checkpoint as ckpt_lib
@@ -210,8 +254,9 @@ def run_on_landmarks(
 
 def run_pipeline(
     video_path: str,
-    checkpoints: Dict[str, str],
+    checkpoints: Optional[Dict[str, str]] = None,
     *,
+    fourstream_checkpoint: Optional[str] = None,
     output_json: Optional[str] = None,
     window: int = 300,
     stride: int = 150,
@@ -220,14 +265,23 @@ def run_pipeline(
     max_frames: int = 100000,
 ) -> Dict:
     """Full video -> report (reference: run_pipeline,
-    inference_pipeline.py:574-670)."""
+    inference_pipeline.py:574-670).  Models come either from per-modality
+    `checkpoints` (reference layout: four run dirs) or from one
+    `fourstream_checkpoint` (concurrent-fourstream training)."""
     from shift_gcn_tpu.data.gendata.mediapipe import get_backend
 
     backend = get_backend(pose_backend)
     landmarks = backend(video_path, max_frames)
     if landmarks is None:
         raise RuntimeError(f"no pose could be extracted from {video_path}")
-    predictor = EnsemblePredictor(checkpoints)
+    if (checkpoints is None) == (fourstream_checkpoint is None):
+        raise ValueError(
+            "pass exactly one of checkpoints / fourstream_checkpoint")
+    if fourstream_checkpoint is not None:
+        predictor = EnsemblePredictor.from_fourstream_checkpoint(
+            fourstream_checkpoint)
+    else:
+        predictor = EnsemblePredictor(checkpoints)
     report = run_on_landmarks(
         landmarks, predictor, window=window, stride=stride,
         threshold=threshold)
@@ -243,22 +297,30 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="fall-detection inference")
     parser.add_argument("--video", required=True)
-    parser.add_argument("--joint", required=True)
+    parser.add_argument("--joint", default=None)
     parser.add_argument("--bone", default=None)
     parser.add_argument("--joint-motion", default=None)
     parser.add_argument("--bone-motion", default=None)
+    parser.add_argument("--fourstream", default=None,
+                        help="one concurrent-fourstream checkpoint "
+                        "(replaces the four per-modality paths)")
     parser.add_argument("--output", default="results.json")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--window", type=int, default=300)
     parser.add_argument("--stride", type=int, default=150)
     args = parser.parse_args(argv)
-    ckpts = {"joint": args.joint}
-    for key in ("bone", "joint_motion", "bone_motion"):
-        val = getattr(args, key)
-        if val:
-            ckpts[key] = val
+    ckpts = None
+    if args.fourstream is None:
+        if args.joint is None:
+            parser.error("--joint (or --fourstream) is required")
+        ckpts = {"joint": args.joint}
+        for key in ("bone", "joint_motion", "bone_motion"):
+            val = getattr(args, key)
+            if val:
+                ckpts[key] = val
     report = run_pipeline(
-        args.video, ckpts, output_json=args.output,
+        args.video, ckpts, fourstream_checkpoint=args.fourstream,
+        output_json=args.output,
         window=args.window, stride=args.stride, threshold=args.threshold)
     print(json.dumps({k: v for k, v in report.items()
                       if k != "frame_probabilities"}, indent=2))

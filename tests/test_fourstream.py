@@ -141,3 +141,12 @@ def test_trainer_fourstream_end_to_end(tmp_path):
     with open(os.path.join(eval_dir, "best_acc_bone.pkl"), "rb") as f:
         d = pickle.load(f)
     assert set(d) == set(names)
+
+    # the saved stacked checkpoint drives the inference ensemble directly
+    from shift_gcn_tpu.inference.pipeline import EnsemblePredictor
+
+    predictor = EnsemblePredictor.from_fourstream_checkpoint(
+        trainer.save_dir, model_config=trainer.model_config)
+    probs = predictor.predict(data[:2])
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
