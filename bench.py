@@ -28,6 +28,8 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--compute-dtype", default=None,
                         help="e.g. bfloat16 for matmul inputs")
+    parser.add_argument("--activation-dtype", default=None,
+                        help="e.g. bfloat16 for whole-backbone activations")
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
                                  "fourstream"],
@@ -63,13 +65,15 @@ def main() -> None:
         config = ModelConfig(
             num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
             blocks=(BlockSpec(3, 8, residual=False), BlockSpec(8, 16, stride=2)),
-            compute_dtype=args.compute_dtype)
+            compute_dtype=args.compute_dtype,
+        activation_dtype=args.activation_dtype)
         batch_size, t = 8, 32
         steps = 3
     else:
         config = ModelConfig(
             num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
-            compute_dtype=args.compute_dtype)
+            compute_dtype=args.compute_dtype,
+        activation_dtype=args.activation_dtype)
         batch_size, t = args.batch_size, 300
         steps = args.steps
 
@@ -190,7 +194,8 @@ def _bench_eval(args):
 
     config = ModelConfig(
         num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        activation_dtype=args.activation_dtype)
     params, state = init_params(jax.random.key(0), config)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
@@ -250,7 +255,8 @@ def _bench_fourstream(args):
 
     config = ModelConfig(
         num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        activation_dtype=args.activation_dtype)
     graph = get_graph(config.graph)
     state4 = fs.create_fourstream_state(jax.random.key(0), config)
     wd = build_weight_decay_tree(

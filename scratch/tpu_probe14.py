@@ -48,6 +48,19 @@ def main():
 
     measure_train("baseline (circconv+xz)")
 
+    # bf16 activations (halved HBM traffic on a bandwidth-bound model)
+    cfg16 = ModelConfig(num_class=2, num_point=33, num_person=1,
+                        graph="mediapipe_pose", activation_dtype="bfloat16")
+    step16 = jax.jit(make_train_step(cfg16, wd))
+    dt = timeit(lambda s, b: step16(s, b, lr)[1]["loss"], state0, batch)
+    print(f"train act-bf16: {64/dt:.1f} clips/s ({dt*1000:.1f} ms)",
+          flush=True)
+    fwd16 = jax.jit(lambda p, s, xx: apply(p, s, xx, cfg16,
+                                           training=False)[0])
+    dt = timeit(fwd16, state0.params, state0.bn_state, batch["data"])
+    print(f"eval  act-bf16: {64/dt:.1f} clips/s ({dt*1000:.1f} ms)",
+          flush=True)
+
     # ablations under the new default
     orig_ts = ts_mod.temporal_shift
 

@@ -75,6 +75,11 @@ class ModelConfig:
         default_factory=default_backbone)
     shift_init_scale: float = 1.0
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for matmul inputs
+    # run the whole backbone in this activation dtype (params, BN stats,
+    # and the final pooling/classifier stay fp32).  The model is
+    # HBM-bandwidth-bound, so "bfloat16" halves activation traffic —
+    # unlike compute_dtype, which only casts matmul inputs.
+    activation_dtype: Optional[str] = None
     # rematerialize each block in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for O(depth) less HBM for activations —
     # enables larger batches than the reference's fp32-everything layout
@@ -86,6 +91,11 @@ class ModelConfig:
     @property
     def dtype(self) -> Optional[jnp.dtype]:
         return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+
+    @property
+    def act_dtype(self) -> Optional[jnp.dtype]:
+        return (jnp.dtype(self.activation_dtype)
+                if self.activation_dtype else None)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +367,8 @@ def _apply_block(
         res, res_bn_state = batch_norm(
             res, params["residual"]["bn"], state["residual"]["bn"],
             reduce_axes=(0, 1, 2), training=training, axis_name=axis_name)
-        new_state["residual"] = {"bn": res_bn_state}
+        res = res.astype(h.dtype)  # residual conv runs fp32; rejoin in the
+        new_state["residual"] = {"bn": res_bn_state}  # activation dtype
     else:
         res = x
     return jax.nn.relu(h + res), new_state
@@ -396,6 +407,8 @@ def apply(
         training=training, axis_name=axis_name)
     h = h.reshape(n, t, m, v, c)
     h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(n * m, t, v, c)
+    if config.act_dtype is not None:
+        h = h.astype(config.act_dtype)
 
     new_state: State = {"data_bn": data_bn_state}
     use_remat = config.remat and training
@@ -415,7 +428,9 @@ def apply(
         new_state[name] = block_state
 
     # global average over (T', V) then persons (reference: shift_gcn.py:212-214)
+    # — pooled and classified in fp32 regardless of activation dtype
     feat = h.shape[-1]
+    h = h.astype(jnp.float32)
     h = h.reshape(n, m, -1, feat).mean(axis=2).mean(axis=1)  # (N, feat)
     logits = h @ params["fc"]["weight"].T + params["fc"]["bias"]
     return logits, new_state

@@ -71,9 +71,12 @@ def batch_norm(
     def fs(arr: jax.Array) -> jax.Array:
         return arr.reshape(feat_shape)
 
+    # stats always accumulate in fp32 (running stats are fp32; low-precision
+    # activation modes would otherwise drift), output keeps x.dtype
+    x32 = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
     if training:
-        mean = jnp.mean(x, axis=reduce_axes, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes, keepdims=True)
+        mean = jnp.mean(x32, axis=reduce_axes, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes, keepdims=True)
         n = 1
         for a in reduce_axes:
             n *= x.shape[a]
@@ -97,5 +100,5 @@ def batch_norm(
         new_state = state
 
     inv = jax.lax.rsqrt(var + eps)
-    out = (x - mean) * inv * fs(params["weight"]) + fs(params["bias"])
-    return out, new_state
+    out = (x32 - mean) * inv * fs(params["weight"]) + fs(params["bias"])
+    return out.astype(x.dtype), new_state

@@ -28,9 +28,13 @@ def pointwise_conv(
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = jnp.einsum("...c,dc->...d", h, w, preferred_element_type=jnp.float32)
+    # accumulate in fp32, return in the input activation dtype (f32
+    # pipelines unchanged; bf16-activation pipelines stay bf16)
+    out = jnp.einsum("...c,dc->...d", h, w.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(x.dtype)
     return out
 
 
@@ -55,20 +59,22 @@ def temporal_conv(
     """
     k = weight.shape[2]
     pad = (k - 1) // 2
-    # kept fp32 regardless of compute_dtype: XLA's conv transpose rule
-    # rejects mixed bf16-operand/f32-cotangent convs, and this k x 1
-    # residual conv is a negligible share of the FLOPs.
+    # compute_dtype is ignored (this k x 1 residual conv is a negligible
+    # share of the FLOPs), but the conv must run UNIFORMLY in the input's
+    # activation dtype: XLA's conv transpose rule rejects mixed
+    # bf16-operand/f32-cotangent convs, so kernel and accumulator follow
+    # x.dtype and the caller casts as needed.
     del compute_dtype
     h = x
-    w = weight
+    w = weight.astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         h,
         w,
         window_strides=(stride, 1),
         padding=((pad, pad), (0, 0)),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(x.dtype)
     return out

@@ -146,13 +146,15 @@ def shift_gcn_transform(
             x, weight, bias, feature_mask, compute_dtype=compute_dtype)
     h = spatial_shift(x, +1)
     gate = jnp.tanh(feature_mask.reshape(x.shape[-2], x.shape[-1])) + 1.0
-    h = h * gate
+    h = h * gate.astype(h.dtype)
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
-        weight = weight.astype(compute_dtype)
     out = jnp.einsum(
-        "...vc,cd->...vd", h, weight, preferred_element_type=jnp.float32)
-    out = out + bias.reshape((1,) * (out.ndim - 1) + (out.shape[-1],))
+        "...vc,cd->...vd", h, weight.astype(h.dtype),
+        preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
+    out = out + bias.astype(x.dtype).reshape(
+        (1,) * (out.ndim - 1) + (out.shape[-1],))
     return spatial_shift(out, -1)
 
 
@@ -195,22 +197,24 @@ def shift_gcn_transform_circconv(
     d = weight.shape[-1]
     gate = jnp.tanh(feature_mask.reshape(v, c)) + 1.0
     g2 = spatial_shift(gate[None], -1)[0]                 # (V, C) tiny
-    u = x * g2
+    u = x * g2.astype(x.dtype)
     kern = jnp.asarray(_circulant_mask(v, c, d)) * weight[None]  # (V, C, D)
     if compute_dtype is not None:
         u = u.astype(compute_dtype)
-        kern = kern.astype(compute_dtype)
+    kern = kern.astype(u.dtype)  # conv must be dtype-uniform
     lead = x.shape[:-2]
     u2 = u.reshape((-1, v, c))
     u_pad = jnp.concatenate([u2, u2[:, : v - 1]], axis=1)  # circular pad
     # conv runs uniformly in the compute dtype (mixed dtypes break the
-    # conv transpose rule); MXU accumulation is fp32 regardless, and the
-    # result is promoted back to fp32 for bias/BN
+    # conv transpose rule); MXU accumulation is fp32 regardless.  The
+    # result returns to the *input activation* dtype: f32 pipelines get
+    # f32 back even under compute_dtype=bf16 (matmul-only casting), while
+    # bf16-activation pipelines stay bf16 end to end.
     out = jax.lax.conv_general_dilated(
         u_pad, kern,
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=u_pad.dtype)                # (R, V, D)
-    out = out.astype(jnp.float32) + bias.reshape(1, 1, d)
+    out = out.astype(x.dtype) + bias.reshape(1, 1, d).astype(x.dtype)
     return out.reshape(lead + (v, d))

@@ -291,7 +291,10 @@ def _temporal_shift_bwd(stride, residuals, g):
     else:
         dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
         dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)
-    gy_raw = jnp.sum(jnp.mean(dval_y * g, axis=0), axis=(0, 1))
+    # fp32 reduction: only the SIGN of gy_raw matters (constraint), so the
+    # inner product must not lose it to low-precision accumulation
+    gy_raw = jnp.sum(jnp.mean(
+        (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
 
     # constraint (cu:370-395): fixed-magnitude steps, xpos frozen.
     dr = jnp.abs(gy_raw)
@@ -371,7 +374,8 @@ def _tsl_bwd(residuals, g):
                      preferred_element_type=jnp.float32)
     dtaps_t = _floor_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
     dval_y = _shift_conv(x, dtaps_t, None, 1, -MAX_SHIFT)
-    gy_raw = jnp.sum(jnp.mean(dval_y * g_h, axis=0), axis=(0, 1))
+    gy_raw = jnp.sum(jnp.mean(
+        (dval_y * g_h).astype(jnp.float32), axis=0), axis=(0, 1))
     dr = jnp.abs(gy_raw)
     gy = jnp.where(dr != 0,
                    gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,

@@ -63,6 +63,8 @@ class ExperimentConfig:
 
     # TPU-native additions
     compute_dtype: Optional[str] = None     # e.g. bfloat16 for matmul inputs
+    activation_dtype: Optional[str] = None  # e.g. bfloat16 whole-backbone
+                                            # activations (BN stats fp32)
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     sync_bn: bool = True                    # global-batch BN under jit
     donate_state: bool = True

@@ -69,6 +69,8 @@ class Trainer:
         valid = {f.name for f in dataclasses.fields(self.model_config)}
         if cfg.compute_dtype and "compute_dtype" in valid:
             overrides["compute_dtype"] = cfg.compute_dtype
+        if cfg.activation_dtype and "activation_dtype" in valid:
+            overrides["activation_dtype"] = cfg.activation_dtype
         if cfg.remat and "remat" in valid:
             overrides["remat"] = True
         if cfg.use_pallas and "use_pallas" in valid:

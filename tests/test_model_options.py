@@ -66,6 +66,32 @@ def test_bf16_compute_trains_and_stays_close():
     assert abs(float(m32["loss"]) - float(m16["loss"])) < 0.05
 
 
+def test_bf16_activation_mode_trains_and_stays_close():
+    """activation_dtype=bfloat16 runs the whole backbone in bf16 (the
+    bandwidth-bound fast path); params and BN running stats stay fp32 and
+    losses track the fp32 run closely over two steps."""
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    losses = {}
+    for name, cfg in [("f32", _cfg()),
+                      ("act16", _cfg(activation_dtype="bfloat16"))]:
+        state = create_train_state(jax.random.key(0), cfg)
+        wd = build_weight_decay_tree(state.params)
+        step = jax.jit(make_train_step(cfg, wd))
+        s, m1 = step(state, batch, lr)
+        s, m2 = step(s, batch, lr)
+        losses[name] = (float(m1["loss"]), float(m2["loss"]))
+        for leaf in jax.tree_util.tree_leaves(s.params):
+            assert leaf.dtype in (jnp.float32, jnp.int32)
+        for leaf in jax.tree_util.tree_leaves(s.bn_state):
+            assert leaf.dtype in (jnp.float32, jnp.int32)
+        logits, _ = apply(s.params, s.bn_state, batch["data"], cfg,
+                          training=False)
+        assert logits.dtype == jnp.float32
+    assert abs(losses["f32"][0] - losses["act16"][0]) < 0.05
+    assert abs(losses["f32"][1] - losses["act16"][1]) < 0.1
+
+
 def test_shift_impls_agree_through_model():
     cfg = _cfg()
     params, state = init_params(jax.random.key(1), cfg)
