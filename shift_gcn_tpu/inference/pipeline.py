@@ -270,13 +270,13 @@ def run_pipeline(
     `fourstream_checkpoint` (concurrent-fourstream training)."""
     from shift_gcn_tpu.data.gendata.mediapipe import get_backend
 
+    if (checkpoints is None) == (fourstream_checkpoint is None):
+        raise ValueError(
+            "pass exactly one of checkpoints / fourstream_checkpoint")
     backend = get_backend(pose_backend)
     landmarks = backend(video_path, max_frames)
     if landmarks is None:
         raise RuntimeError(f"no pose could be extracted from {video_path}")
-    if (checkpoints is None) == (fourstream_checkpoint is None):
-        raise ValueError(
-            "pass exactly one of checkpoints / fourstream_checkpoint")
     if fourstream_checkpoint is not None:
         predictor = EnsemblePredictor.from_fourstream_checkpoint(
             fourstream_checkpoint)

@@ -199,8 +199,14 @@ def shift_gcn_transform_circconv(
     g2 = spatial_shift(gate[None], -1)[0]                 # (V, C) tiny
     u = x * g2.astype(x.dtype)
     kern = jnp.asarray(_circulant_mask(v, c, d)) * weight[None]  # (V, C, D)
-    if compute_dtype is not None:
-        u = u.astype(compute_dtype)
+    # compute_dtype (matmul-input casting) is deliberately NOT applied
+    # here: the conv must be dtype-uniform (XLA's conv transpose rule
+    # rejects mixed bf16-operand/f32-cotangent convs), and casting BOTH
+    # operands would also bf16-round the C-axis accumulation — a precision
+    # regression vs the chain path's fp32-accumulating einsum.  Low
+    # precision for this op comes from activation_dtype instead, where
+    # x (and thus the whole uniform conv) is already bf16.
+    del compute_dtype
     kern = kern.astype(u.dtype)  # conv must be dtype-uniform
     lead = x.shape[:-2]
     u2 = u.reshape((-1, v, c))

@@ -322,13 +322,15 @@ def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
     kernel = (taps_t[:, None, :, None] * w[None, None, :, :]).astype(x.dtype)
     pad_lo = MAX_SHIFT
     pad_hi = qt - MAX_SHIFT - 1
+    # dtype-uniform conv (XLA's conv transpose rule rejects mixed
+    # bf16-operand/f32-cotangent convs); caller keeps x.dtype downstream
     out = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(1, 1),
         padding=((pad_lo, pad_hi), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return out + bias.reshape(1, 1, 1, -1)
+        preferred_element_type=x.dtype)
+    return out + bias.reshape(1, 1, 1, -1).astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -368,6 +370,10 @@ def _tsl_bwd(residuals, g):
         lambda xx, ww, bb: _fused_conv(xx, taps_t, ww, bb),
         x, w, jnp.zeros((w.shape[1],), x.dtype))
     grad_x, grad_w, grad_b = vjp_fn(g)
+    # cotangent dtypes must match the (fp32) parameter primals even when
+    # activations run in a lower precision
+    grad_w = grad_w.astype(w.dtype)
+    grad_b = grad_b.astype(w.dtype)
 
     # constraint ypos grad: cotangent at the shift output is g @ W^T
     g_h = jnp.einsum("ntvd,cd->ntvc", g, w,

@@ -214,9 +214,11 @@ class Trainer:
         )
         self.start_epoch = int(payload["meta"]["epoch"]) + 1
         self.best_acc = float(payload["meta"]["best_acc"])
+        # global_step is a scalar normally, a stacked (4,) under fourstream
+        step_no = int(np.asarray(self.state.global_step).reshape(-1)[0])
         self.logger.log(
             f"  Resumed: epoch={self.start_epoch}, "
-            f"global_step={int(self.state.global_step)}, "
+            f"global_step={step_no}, "
             f"best_acc={self.best_acc:.4f}")
 
     # ------------------------------------------------------------------
@@ -316,7 +318,8 @@ class Trainer:
     def evaluate(self, epoch: int, wrong_file: Optional[str] = None,
                  result_file: Optional[str] = None) -> float:
         if self.cfg.fourstream:
-            return self._evaluate_fourstream(epoch)
+            return self._evaluate_fourstream(
+                epoch, wrong_file=wrong_file, result_file=result_file)
         cfg = self.cfg
         self.logger.log(f"Eval epoch: {epoch + 1}")
         it = self.iterators["test"]
@@ -397,12 +400,16 @@ class Trainer:
         except device_guard.DeviceUnhealthyError:
             device_guard.reexec_with_resume(logger=self.logger)
 
-    def _evaluate_fourstream(self, epoch: int) -> float:
+    def _evaluate_fourstream(self, epoch: int,
+                             wrong_file: Optional[str] = None,
+                             result_file: Optional[str] = None) -> float:
         """Eval all four streams + weighted ensemble in one pass.
 
         Per-stream score pickles keep the reference's per-experiment file
         contract (ensemble*.py consumes {sample_name: score} dicts); the
-        ensemble fusion itself is also computed here directly."""
+        ensemble fusion itself is also computed here directly.
+        wrong/right prediction files (test phase) use the ensemble
+        prediction (reference: main.py:534-546)."""
         from shift_gcn_tpu.train import fourstream as fs
 
         cfg = self.cfg
@@ -413,26 +420,43 @@ class Trainer:
         ens_scores = []
         loss_sum = np.zeros(len(fs.STREAMS))
         n_sum = 0.0
-        for data, label, index, mask in it.epoch(0):
-            batch = mesh_lib.shard_batch(self.mesh, {
-                "data": data.astype(np.float32),
-                "label": label,
-                "mask": mask,
-            })
-            logits4, ensemble, lsum4, ns = self._eval_step(
-                self.state.params, self.state.bn_state, batch)
-            valid = mask > 0
-            logits4 = np.asarray(logits4)
-            for i in range(len(fs.STREAMS)):
-                scores4[i].append(logits4[i][valid])
-            ens_scores.append(np.asarray(ensemble)[valid])
-            loss_sum += np.asarray(lsum4)
-            n_sum += float(np.asarray(ns)[0])
+        f_w = open(wrong_file, "w") if wrong_file else None
+        f_r = open(result_file, "w") if result_file else None
+        try:
+            for data, label, index, mask in it.epoch(0):
+                batch = mesh_lib.shard_batch(self.mesh, {
+                    "data": data.astype(np.float32),
+                    "label": label,
+                    "mask": mask,
+                })
+                logits4, ensemble, lsum4, ns = self._eval_step(
+                    self.state.params, self.state.bn_state, batch)
+                valid = mask > 0
+                logits4 = np.asarray(logits4)
+                ensemble = np.asarray(ensemble)
+                for i in range(len(fs.STREAMS)):
+                    scores4[i].append(logits4[i][valid])
+                ens_scores.append(ensemble[valid])
+                loss_sum += np.asarray(lsum4)
+                n_sum += float(np.asarray(ns)[0])
+                if f_w or f_r:
+                    preds = ensemble.argmax(-1)
+                    for j in np.nonzero(valid)[0]:
+                        if f_r:
+                            f_r.write(f"{preds[j]},{label[j]}\n")
+                        if f_w and preds[j] != label[j]:
+                            f_w.write(f"{index[j]},{preds[j]},{label[j]}\n")
+        finally:
+            if f_w:
+                f_w.close()
+            if f_r:
+                f_r.close()
         ens = np.concatenate(ens_scores)
+        stream_scores = [np.concatenate(s) for s in scores4]
         accuracy = feeder.top_k(ens, 1)
         eval_dir = os.path.join(self.work_dir, "eval_results")
-        for i, stream in enumerate(fs.STREAMS):
-            s = np.concatenate(scores4[i])
+        for stream, s in zip(fs.STREAMS, stream_scores):
+            i = fs.STREAMS.index(stream)
             acc_i = feeder.top_k(s, 1)
             self.logger.log(
                 f"\t{stream}: loss {loss_sum[i] / max(n_sum, 1):.4f}  "
@@ -446,11 +470,10 @@ class Trainer:
             self.best_acc = accuracy
             with open(os.path.join(eval_dir, "best_acc.pkl"), "wb") as f:
                 pickle.dump(score_dict, f)
-            for i, stream in enumerate(fs.STREAMS):
+            for stream, s in zip(fs.STREAMS, stream_scores):
                 with open(os.path.join(
                         eval_dir, f"best_acc_{stream}.pkl"), "wb") as f:
-                    pickle.dump(dict(zip(feeder.sample_name,
-                                         np.concatenate(scores4[i]))), f)
+                    pickle.dump(dict(zip(feeder.sample_name, s)), f)
         with open(os.path.join(
                 eval_dir, f"epoch_{epoch}_{accuracy}.pkl"), "wb") as f:
             pickle.dump(score_dict, f)

@@ -83,22 +83,46 @@ def reexec_count() -> int:
     return int(os.environ.get(_REEXEC_ENV, "0"))
 
 
+def _rebuild_launch_argv() -> list:
+    """Reconstruct the python invocation for this process.
+
+    ``python -m pkg.mod`` launches must be re-run with ``-m`` (sys.argv[0]
+    is the module *file*; executing it directly puts its own directory on
+    sys.path and the package import fails).  __main__.__spec__ carries the
+    module name exactly in that case.
+    """
+    main_spec = getattr(sys.modules.get("__main__"), "__spec__", None)
+    if main_spec is not None and main_spec.name:
+        return [sys.executable, "-m", main_spec.name] + sys.argv[1:]
+    return [sys.executable] + sys.argv
+
+
 def reexec_with_resume(logger=None, extra_argv: Optional[list] = None,
                        wait_s: float = 90.0) -> None:
     """Replace this process with a fresh training invocation.
 
-    Appends ``--resume auto`` so the new process continues from the newest
-    checkpoint.  Raises after _MAX_REEXEC generations to avoid loops when
-    the platform is down for good.  os.execv never returns on success.
+    The restart resumes from the NEWEST checkpoint: an existing
+    ``--resume <path>`` is rewritten to ``--resume auto`` (a fixed path
+    would roll training back to the same stale checkpoint every restart),
+    and ``--overwrite false`` is forced so the fresh process's cleanup
+    pass cannot delete the checkpoints it is about to resume from.
+    Raises after _MAX_REEXEC generations to avoid loops when the platform
+    is down for good.  os.execve never returns on success.
     """
     depth = reexec_count()
     if depth >= _MAX_REEXEC:
         raise DeviceUnhealthyError(
             f"device still unhealthy after {_MAX_REEXEC} fresh-process "
             "restarts; giving up")
-    argv = [sys.executable] + sys.argv + (extra_argv or [])
-    if "--resume" not in sys.argv:
+    argv = _rebuild_launch_argv() + (extra_argv or [])
+    if "--resume" in argv:
+        argv[argv.index("--resume") + 1] = "auto"
+    else:
         argv += ["--resume", "auto"]
+    if "--overwrite" in argv:
+        argv[argv.index("--overwrite") + 1] = "false"
+    else:
+        argv += ["--overwrite", "false"]
     if logger is not None:
         logger.log(f"\tRe-executing trainer in a fresh process "
                    f"(restart {depth + 1}/{_MAX_REEXEC}): {' '.join(argv)}")

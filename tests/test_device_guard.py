@@ -63,20 +63,72 @@ def test_reexec_depth_cap(monkeypatch):
         device_guard.reexec_with_resume(wait_s=0.0)
 
 
-def test_reexec_appends_resume(monkeypatch):
+def _capture_reexec(monkeypatch, argv):
     calls = {}
 
-    def fake_execve(path, argv, env):
-        calls["argv"] = argv
+    def fake_execve(path, new_argv, env):
+        calls["argv"] = new_argv
         calls["env"] = env
         raise SystemExit  # execve never returns; simulate process swap
 
+    import sys as real_sys
+
     monkeypatch.delenv(device_guard._REEXEC_ENV, raising=False)
     monkeypatch.setattr(device_guard.os, "execve", fake_execve)
-    monkeypatch.setattr(device_guard.sys, "argv",
-                        ["train.py", "--config", "c.yaml"])
+    monkeypatch.setattr(device_guard.sys, "argv", argv)
+    # pretend a plain-script launch (pytest itself may be a -m launch)
+    monkeypatch.setattr(real_sys.modules["__main__"], "__spec__", None)
     monkeypatch.setattr(device_guard.time, "sleep", lambda s: None)
     with pytest.raises(SystemExit):
         device_guard.reexec_with_resume()
-    assert calls["argv"][-2:] == ["--resume", "auto"]
+    return calls
+
+
+def test_reexec_appends_resume_and_disables_overwrite(monkeypatch):
+    calls = _capture_reexec(
+        monkeypatch, ["train.py", "--config", "c.yaml"])
+    argv = calls["argv"]
+    assert argv[argv.index("--resume") + 1] == "auto"
+    assert argv[argv.index("--overwrite") + 1] == "false"
     assert calls["env"][device_guard._REEXEC_ENV] == "1"
+
+
+def test_reexec_rewrites_fixed_resume_to_auto(monkeypatch):
+    calls = _capture_reexec(
+        monkeypatch,
+        ["train.py", "--config", "c.yaml", "--resume", "save/run/10",
+         "--overwrite", "true"])
+    argv = calls["argv"]
+    assert argv[argv.index("--resume") + 1] == "auto"
+    assert "save/run/10" not in argv
+    assert argv[argv.index("--overwrite") + 1] == "false"
+
+
+def test_reexec_rebuilds_module_launch(monkeypatch):
+    """`python -m pkg.cli` launches must be re-run with -m, not by script
+    path (the package would not be importable)."""
+    import sys as real_sys
+    import types
+
+    calls = {}
+
+    def fake_execve(path, new_argv, env):
+        calls["argv"] = new_argv
+        raise SystemExit
+
+    class FakeSpec:
+        name = "shift_gcn_tpu.cli.train"
+
+    monkeypatch.delenv(device_guard._REEXEC_ENV, raising=False)
+    monkeypatch.setattr(device_guard.os, "execve", fake_execve)
+    monkeypatch.setattr(
+        device_guard.sys, "argv",
+        ["/root/repo/shift_gcn_tpu/cli/train.py", "--config", "c.yaml"])
+    monkeypatch.setattr(real_sys.modules["__main__"], "__spec__",
+                        FakeSpec())
+    monkeypatch.setattr(device_guard.time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit):
+        device_guard.reexec_with_resume()
+    argv = calls["argv"]
+    assert argv[1:3] == ["-m", "shift_gcn_tpu.cli.train"]
+    assert "/root/repo/shift_gcn_tpu/cli/train.py" not in argv

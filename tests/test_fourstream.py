@@ -150,3 +150,13 @@ def test_trainer_fourstream_end_to_end(tmp_path):
     probs = predictor.predict(data[:2])
     assert probs.shape == (2, 2)
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+
+    # resume from the stacked checkpoint (regression: global_step is a
+    # stacked (4,) array and must not break the resume logging)
+    import dataclasses as dc
+
+    cfg_resume = dc.replace(cfg, resume="auto", num_epoch=2)
+    trainer2 = Trainer(cfg_resume)
+    assert trainer2.start_epoch == 1
+    step_no = int(np.asarray(trainer2.state.global_step).reshape(-1)[0])
+    assert step_no > 0

@@ -107,6 +107,22 @@ def test_shift_impls_agree_through_model():
     np.testing.assert_allclose(outs["slice"], outs["conv"], atol=1e-4)
 
 
+def test_tcn_fuse_with_bf16_activations_trains(monkeypatch):
+    """Regression: fused temporal shift+linear under bf16 activations must
+    not hit the mixed-dtype conv-transpose rejection."""
+    monkeypatch.setenv("SGT_TCN_FUSE", "1")
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    cfg = _cfg(activation_dtype="bfloat16")
+    state = create_train_state(jax.random.key(0), cfg)
+    wd = build_weight_decay_tree(state.params)
+    step = jax.jit(make_train_step(cfg, wd))
+    s, m = step(state, batch, lr)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(s.params):
+        assert leaf.dtype in (jnp.float32, jnp.int32)
+
+
 @pytest.mark.parametrize("env_key,env_val", [
     ("SGT_SGCN_IMPL", "chain"),      # explicit spatial chain vs default
     ("SGT_TCN_FUSE", "1"),           # fused temporal shift+linear
