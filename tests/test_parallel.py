@@ -118,3 +118,43 @@ class TestDataParallelEquivalence:
                         jax.tree_util.tree_leaves(s8.params)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_fourstream_composes_with_data_sharding(self):
+        """Stream-vmap x data-parallel sharding in one program: the
+        fourstream step under an 8-device 'data' mesh matches the
+        unsharded fourstream step exactly."""
+        from shift_gcn_tpu.graphs import get_graph
+        from shift_gcn_tpu.models.shift_gcn import BlockSpec, ModelConfig
+        from shift_gcn_tpu.train import fourstream as fs
+        from shift_gcn_tpu.train.optim import build_weight_decay_tree
+
+        config = ModelConfig(
+            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+            blocks=(BlockSpec(3, 8, residual=False),
+                    BlockSpec(8, 16, stride=2)))
+        graph = get_graph(config.graph)
+        state4 = fs.create_fourstream_state(jax.random.key(0), config)
+        wd = build_weight_decay_tree(jax.tree_util.tree_map(
+            lambda x: x[0], state4.params))
+        step = fs.make_fourstream_train_step(config, wd, graph)
+
+        rng = np.random.default_rng(1)
+        batch_np = {
+            "data": rng.standard_normal((16, 3, 8, 25, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, 16).astype(np.int32),
+        }
+        lr = jnp.asarray(0.1, jnp.float32)
+        s1, m1 = jax.jit(step)(state4, batch_np, lr)
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        batch_sharded = {k: jax.device_put(v, shard)
+                         for k, v in batch_np.items()}
+        s8, m8 = jax.jit(step)(state4, batch_sharded, lr)
+
+        np.testing.assert_allclose(np.asarray(m1["loss"]),
+                                   np.asarray(m8["loss"]), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5)
