@@ -1,0 +1,74 @@
+"""AOT serving export (inference/export.py): serialized StableHLO
+artifacts reproduce the live eval forward exactly."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shift_gcn_tpu.inference import export as export_lib
+from shift_gcn_tpu.models.shift_gcn import (
+    BlockSpec, ModelConfig, apply, init_params)
+
+
+def _cfg():
+    return ModelConfig(
+        num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+        blocks=(BlockSpec(3, 8, residual=False),
+                BlockSpec(8, 16, stride=2)))
+
+
+def test_baked_export_roundtrip_matches_live_forward(tmp_path):
+    cfg = _cfg()
+    params, bn_state = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 3, 16, 25, 1)), jnp.float32)
+
+    blob = export_lib.export_eval_baked(params, bn_state, cfg,
+                                        batch_size=4, seq_len=16)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    art = export_lib.load_exported(blob)
+    got = np.asarray(art.call(x))
+    want, _ = apply(params, bn_state, x, cfg, training=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_weights_as_inputs_export_hot_swaps_checkpoints():
+    cfg = _cfg()
+    p1, s1 = init_params(jax.random.key(1), cfg)
+    p2, s2 = init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 1)), jnp.float32)
+
+    blob = export_lib.export_eval(p1, s1, cfg, batch_size=2, seq_len=16)
+    art = export_lib.load_exported(blob)
+    for p, s in ((p1, s1), (p2, s2)):
+        got = np.asarray(art.call(p, s, x))
+        want, _ = apply(p, s, x, cfg, training=False)
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_export_checkpoint_cli_path(tmp_path):
+    """export_checkpoint reads a saved run dir and writes the artifact."""
+    from shift_gcn_tpu.train.state import create_train_state
+    from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = _cfg()
+    state = create_train_state(jax.random.key(3), cfg)
+    payload = {
+        "params": state.params, "bn_state": state.bn_state,
+        "opt_state": state.opt_state, "global_step": state.global_step,
+        "meta": {"epoch": 0, "best_acc": 0.0},
+    }
+    save_dir = str(tmp_path / "save")
+    ckpt_lib.save_checkpoint(save_dir, 0, payload)
+    out = export_lib.export_checkpoint(
+        save_dir, str(tmp_path / "model.shlo"), config=cfg,
+        batch_size=2, seq_len=16)
+    blob = open(out, "rb").read()
+    art = export_lib.load_exported(blob)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 1)), jnp.float32)
+    want, _ = apply(state.params, state.bn_state, x, cfg, training=False)
+    np.testing.assert_allclose(np.asarray(art.call(x)),
+                               np.asarray(want), atol=1e-5)
