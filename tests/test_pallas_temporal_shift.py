@@ -1,0 +1,73 @@
+"""Pallas temporal-shift kernel vs the XLA lowering (interpret mode)."""
+
+import importlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+pk = importlib.import_module(
+    "shift_gcn_tpu.ops.pallas.temporal_shift_kernel")
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pk, "_INTERPRET", True)
+    monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+    yield
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("t,v,c", [(32, 7, 5), (40, 3, 17)])
+def test_forward_matches_xla_lowering(stride, t, v, c):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, t, v, c)), jnp.float32)
+    xpos = jnp.zeros(c)
+    ypos = jnp.asarray(rng.uniform(-3, 3, c), jnp.float32)
+    want = np.asarray(ts.temporal_shift(x, xpos, ypos, stride))
+    got = np.asarray(pk.temporal_shift_pallas(x, xpos, ypos, stride))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_grads_match_xla_lowering(stride):
+    rng = np.random.default_rng(1)
+    t, v, c = 32, 5, 6
+    x = jnp.asarray(rng.standard_normal((2, t, v, c)), jnp.float32)
+    xpos = jnp.zeros(c)
+    ypos = jnp.asarray(rng.uniform(-2, 2, c), jnp.float32)
+    g = jnp.asarray(
+        rng.standard_normal((2, t // stride, v, c)), jnp.float32)
+
+    def grads(fn):
+        def f(xx, yp):
+            return jnp.sum(fn(xx, xpos, yp, stride) * g)
+        return jax.grad(f, argnums=(0, 1))(x, ypos)
+
+    (gx1, gy1) = grads(ts.temporal_shift)
+    (gx2, gy2) = grads(pk.temporal_shift_pallas)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), atol=1e-5)
+    # constraint grads are exactly ±0.01 / 1e-4 — must match bit-for-bit
+    np.testing.assert_array_equal(np.asarray(gy2), np.asarray(gy1))
+
+
+def test_integer_shift_is_exact():
+    x = jnp.asarray(
+        np.arange(2 * 12 * 3 * 2, dtype=np.float32).reshape(2, 12, 3, 2))
+    ypos = jnp.asarray([1.0, -2.0])
+    a = np.asarray(ts.temporal_shift(x, jnp.zeros(2), ypos, 1))
+    b = np.asarray(pk.temporal_shift_pallas(x, jnp.zeros(2), ypos, 1))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_channel_padding_path():
+    # C not a multiple of the block size exercises the pad/strip logic
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 24, 4, 3)), jnp.float32)
+    ypos = jnp.asarray(rng.uniform(-1, 1, 3), jnp.float32)
+    want = np.asarray(ts.temporal_shift(x, jnp.zeros(3), ypos, 1))
+    got = np.asarray(pk.temporal_shift_pallas(x, jnp.zeros(3), ypos, 1))
+    np.testing.assert_allclose(got, want, atol=1e-6)
