@@ -48,6 +48,30 @@ def test_weights_as_inputs_export_hot_swaps_checkpoints():
         np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
 
 
+def test_serve_cli_scores_clips(tmp_path):
+    """export -> serve: batch scoring (incl. padded tail) matches the live
+    forward."""
+    from shift_gcn_tpu.inference import serve as serve_lib
+
+    cfg = _cfg()
+    params, bn_state = init_params(jax.random.key(4), cfg)
+    blob = export_lib.export_eval_baked(params, bn_state, cfg,
+                                        batch_size=4, seq_len=16)
+    art_path = tmp_path / "model.shlo"
+    art_path.write_bytes(blob)
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((10, 3, 16, 25, 1)).astype(np.float32)
+    np.save(tmp_path / "clips.npy", data)
+    serve_lib.main(["--artifact", str(art_path),
+                    "--data", str(tmp_path / "clips.npy"),
+                    "--out", str(tmp_path / "scores.npy"),
+                    "--batch-size", "4"])
+    got = np.load(tmp_path / "scores.npy")
+    want, _ = apply(params, bn_state, jnp.asarray(data), cfg,
+                    training=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
 def test_export_checkpoint_cli_path(tmp_path):
     """export_checkpoint reads a saved run dir and writes the artifact."""
     from shift_gcn_tpu.train.state import create_train_state
