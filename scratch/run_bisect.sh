@@ -28,7 +28,7 @@ for c in $CASES; do
   echo "=== case $c ($(date +%H:%M:%S)) ==="
   wait_healthy || exit 1
   timeout 600 python scratch/pallas_bisect.py "$c" 2>&1 | tail -5
-  echo "--- exit: $? ---"
+  echo "--- exit: ${PIPESTATUS[0]} ---"
   sleep 10
 done
 echo "bisect complete ($(date +%H:%M:%S))"

@@ -223,6 +223,49 @@ def _shift_roll(
     return y0 * (1.0 - frac) + y1 * frac
 
 
+def _shift_matmul(
+    x: jax.Array,
+    pos: jax.Array,
+    taps_v: Optional[jax.Array],
+    stride: int,
+    mode: str = "hat",
+) -> jax.Array:
+    """Temporal shift as a batched (C, T_out, T_in) hat-matrix contraction.
+
+    The per-channel fractional shift is a linear map over time, so it can
+    be materialised as one small matrix per channel,
+
+        M[c, s, t] = hat(s * stride + pos[c] - t),   hat(d) = max(0, 1-|d|)
+
+    (2 nonzeros per row; out-of-range reads vanish because the column
+    simply doesn't exist — identical to the conv lowering's zero padding),
+    and applied as ``out[n,s,v,c] = sum_t x[n,t,v,c] * M[c,s,t]``.  This
+    turns the shift from a many-tap depthwise conv (VPU, bandwidth-bound)
+    into a dense batched matmul the MXU executes directly; M is tiny
+    (C * T^2, ~23 MB at the largest block) next to the activations.
+    mode="diff" builds the position-gradient corner-difference matrix
+    instead (reference shift_cuda_kernel.cu:343-344).
+    """
+    n, t_in, v_in, c = x.shape
+    t_out = t_in // stride
+    if taps_v is not None:
+        xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        x = sum(
+            jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
+            for j in range(taps_v.shape[0]))
+    s = jnp.arange(t_out, dtype=jnp.int32)[None, :, None] * stride
+    t = jnp.arange(t_in, dtype=jnp.int32)[None, None, :]
+    if mode == "diff":
+        y1 = jnp.floor(pos).astype(jnp.int32)[:, None, None]
+        m = ((t == s + y1 + 1).astype(x.dtype)
+             - (t == s + y1).astype(x.dtype))
+    else:
+        d = s.astype(pos.dtype) + pos[:, None, None] - t.astype(pos.dtype)
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(x.dtype)
+    return jnp.einsum("ntvc,cst->nsvc", x, m,
+                      preferred_element_type=x.dtype)
+
+
 def _shift_conv(x, taps_t, taps_v, stride, t_lo):
     # Lowering choice (measured on TPU v5e, batch 64, T=300):
     #   conv : train 193 clips/s, eval 683 clips/s  <- default
@@ -242,8 +285,11 @@ def _shift_conv(x, taps_t, taps_v, stride, t_lo):
 def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
              stride: int) -> jax.Array:
     taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    if _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "roll":
+    impl = _os.environ.get("SGT_TSHIFT_IMPL", "conv")
+    if impl == "roll":
         return _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT)
+    if impl == "matmul":
+        return _shift_matmul(x, ypos_eff, taps_v, stride)
     taps_t = _hat_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
     return _shift_conv(x, taps_t, taps_v, stride, -MAX_SHIFT)
 
@@ -285,9 +331,12 @@ def _temporal_shift_bwd(stride, residuals, g):
     # raw position grad along y: corner-difference conv then
     # mean-over-batch, sum-over-(T, V) (cu:343-349, 501-509).
     taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    if _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "roll":
+    _impl = _os.environ.get("SGT_TSHIFT_IMPL", "conv")
+    if _impl == "roll":
         dval_y = _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT,
                              mode="diff")
+    elif _impl == "matmul":
+        dval_y = _shift_matmul(x, ypos_eff, taps_v, stride, mode="diff")
     else:
         dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
         dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)

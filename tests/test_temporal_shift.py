@@ -17,6 +17,7 @@ _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
 @pytest.fixture(autouse=True, params=[
     ("conv", False), ("conv", True),
     ("slice", True), ("roll", False), ("roll", True),
+    ("matmul", False), ("matmul", True),
 ])
 def _shift_impl(request, monkeypatch):
     """Run every oracle test under each lowering x xpos-handling mode.
