@@ -311,6 +311,15 @@ def _apply_shift_tcn(
     # `temporal_shift` *function*, shadowing the submodule name
     _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
 
+    # SGT_TSHIFT_IMPL=pallas swaps in the VMEM 2-tap kernel (same
+    # semantics + constraint VJP; requires the xpos-zero lowering)
+    if (_os.environ.get("SGT_TSHIFT_IMPL") == "pallas"
+            and _ts_mod.ASSUME_XPOS_ZERO):
+        from shift_gcn_tpu.ops.pallas.temporal_shift_kernel import (
+            temporal_shift_pallas as _tshift)
+    else:
+        _tshift = temporal_shift
+
     h, bn_state = batch_norm(
         x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
         training=training, axis_name=axis_name)
@@ -322,14 +331,14 @@ def _apply_shift_tcn(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
             w2, params["temporal_linear"]["bias"])
     else:
-        h = temporal_shift(
+        h = _tshift(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1)
         h = pointwise_conv(
             h, params["temporal_linear"]["weight"],
             params["temporal_linear"]["bias"],
             compute_dtype=compute_dtype)
     h = jax.nn.relu(h)
-    h = temporal_shift(
+    h = _tshift(
         h, params["shift_out"]["xpos"], params["shift_out"]["ypos"], stride)
     h, bn2_state = batch_norm(
         h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),

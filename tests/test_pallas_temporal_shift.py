@@ -71,3 +71,23 @@ def test_channel_padding_path():
     want = np.asarray(ts.temporal_shift(x, jnp.zeros(3), ypos, 1))
     got = np.asarray(pk.temporal_shift_pallas(x, jnp.zeros(3), ypos, 1))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_model_dispatch_matches_default(monkeypatch):
+    """SGT_TSHIFT_IMPL=pallas routes the model's temporal shifts through
+    the kernel; eval forward must match the default lowering."""
+    from shift_gcn_tpu.models.shift_gcn import (
+        BlockSpec, ModelConfig, apply, init_params)
+
+    cfg = ModelConfig(
+        num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+        blocks=(BlockSpec(3, 8, residual=False),
+                BlockSpec(8, 16, stride=2)))
+    params, state = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 3, 64, 25, 1)), jnp.float32)
+
+    want = np.asarray(apply(params, state, x, cfg, training=False)[0])
+    monkeypatch.setenv("SGT_TSHIFT_IMPL", "pallas")
+    got = np.asarray(apply(params, state, x, cfg, training=False)[0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
