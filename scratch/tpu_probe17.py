@@ -70,6 +70,26 @@ def main():
             measure(f"{impl} prec={prec}", train=False)
     jax.config.update("jax_default_matmul_precision", "default")
 
+    # whole-backbone bf16 activations under the new platform default
+    os.environ["SGT_TSHIFT_IMPL"] = "conv"
+    cfg_act16 = ModelConfig(num_class=2, num_point=33, num_person=1,
+                            graph="mediapipe_pose",
+                            activation_dtype="bfloat16")
+    state16 = create_train_state(jax.random.key(0), cfg_act16)
+    wd16 = build_weight_decay_tree(state16.params)
+    try:
+        step = jax.jit(make_train_step(cfg_act16, wd16))
+        dt = timeit(lambda s, b: step(s, b, lr)[1]["loss"], state16, batch)
+        print(f"train act-bf16 conv: {64/dt:.1f} clips/s ({dt*1000:.1f} ms)",
+              flush=True)
+        fwd = jax.jit(lambda p, s, xx: apply(p, s, xx, cfg_act16,
+                                             training=False)[0])
+        dt = timeit(fwd, state16.params, state16.bn_state, batch["data"])
+        print(f"eval  act-bf16 conv: {64/dt:.1f} clips/s ({dt*1000:.1f} ms)",
+              flush=True)
+    except Exception as e:
+        print(f"act-bf16: FAILED {str(e)[:160]}", flush=True)
+
     # LAST (worker-fault risk): tiny-T eval graph under the matmul lowering
     os.environ["SGT_TSHIFT_IMPL"] = "matmul"
     x_small = jnp.asarray(rng.standard_normal((8, 3, 64, 33, 1)), jnp.float32)
