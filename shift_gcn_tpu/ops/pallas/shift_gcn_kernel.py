@@ -35,17 +35,24 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_ROW_BLOCK = 256
 _INTERPRET = False  # tests flip this to run kernels in interpreter mode
 
-# VMEM budget for the (in + out) blocks, per pipeline buffer pair.  16 MB
-# VMEM total; leave room for weights, gates, and double buffering.
-_VMEM_BLOCK_BUDGET = 6 * 1024 * 1024
+# VMEM budget for one kernel invocation's working set.  16 MB scoped VMEM
+# total; the kernel keeps, besides the double-buffered in/out blocks, the
+# sheared copy, the f32 matmul result, and ~2 live roll temporaries of the
+# output block inside `_perlane_roll_amt` — measured on hardware: the old
+# in+out-only accounting OOM'd the scoped allocator by 2.8 MB on the
+# (V=33, C=3, D=64) data-layer block.
+_VMEM_BLOCK_BUDGET = 14 * 1024 * 1024
 
 
 def pick_row_block(v: int, c: int, d: int) -> int:
-    """Largest power-of-two row block whose in+out tiles fit the budget."""
-    bytes_per_row = v * (c + d) * 4
-    rb = _VMEM_BLOCK_BUDGET // (2 * bytes_per_row)
+    """Largest power-of-two row block whose working set fits the budget."""
+    # 2c+2d: double-buffered in/out pipeline blocks; +c sheared copy;
+    # +d matmul result; +6d: the Mosaic stack keeps every rolled copy of
+    # the ceil(log2 V)~6-step shear loop live (all f32)
+    bytes_per_row = v * (3 * c + 9 * d) * 4
+    rb = _VMEM_BLOCK_BUDGET // bytes_per_row
     rb = 1 << max(5, int(np.floor(np.log2(max(rb, 32)))))
-    return int(min(rb, 512))
+    return int(min(rb, 256))
 
 
 def _shear_in(vals: jax.Array, v: int) -> jax.Array:

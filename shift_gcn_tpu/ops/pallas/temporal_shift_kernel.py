@@ -50,9 +50,18 @@ _VMEM_BLOCK_BUDGET = 8 * 1024 * 1024
 
 
 def _pick_c_block(t_in: int, v: int, c: int, stride: int) -> int:
+    """Channel block honoring the Pallas TPU minor-dim rule.
+
+    The last block dim must be a multiple of 128 or equal to the full C
+    (hardware lowering constraint, surfaced as a compile error otherwise),
+    so the choice is: full C when C <= 128, else the largest 128-multiple
+    that fits the VMEM budget.
+    """
+    if c <= 128:
+        return int(c)
     bytes_per_c = (t_in + t_in // stride) * v * 4
-    cb = max(_VMEM_BLOCK_BUDGET // (2 * max(bytes_per_c, 1)), 8)
-    cb = 1 << int(np.floor(np.log2(cb)))
+    cb = max(_VMEM_BLOCK_BUDGET // (2 * max(bytes_per_c, 1)), 128)
+    cb = (cb // 128) * 128
     return int(min(cb, c))
 
 
