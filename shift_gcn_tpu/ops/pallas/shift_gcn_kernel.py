@@ -47,9 +47,10 @@ _VMEM_BLOCK_BUDGET = 14 * 1024 * 1024
 def pick_row_block(v: int, c: int, d: int) -> int:
     """Largest power-of-two row block whose working set fits the budget."""
     # 2c+2d: double-buffered in/out pipeline blocks; +c sheared copy;
-    # +d matmul result; +6d: the Mosaic stack keeps every rolled copy of
-    # the ceil(log2 V)~6-step shear loop live (all f32)
-    bytes_per_row = v * (3 * c + 9 * d) * 4
+    # +d matmul result; +6·max(c,d): the Mosaic stack keeps every rolled
+    # copy of the ceil(log2 V)~6-step shear loop live, and the shear runs
+    # on the input side in the dx kernel (W transposed, c > d there)
+    bytes_per_row = v * (3 * c + 3 * d + 6 * max(c, d)) * 4
     rb = _VMEM_BLOCK_BUDGET // bytes_per_row
     rb = 1 << max(5, int(np.floor(np.log2(max(rb, 32)))))
     return int(min(rb, 256))
@@ -130,6 +131,9 @@ def _run_fwd(x, gate, w, bias, out_gate, row_block=None):
             out_specs=pl.BlockSpec((row_block, v, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, gate, w, bias.reshape(1, -1), out_gate)[:r]
 
 
@@ -171,6 +175,9 @@ def _run_shear_gate(x, gate, row_block=None):
             out_specs=pl.BlockSpec((row_block, v, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, gate)[:r]
 
 

@@ -65,8 +65,8 @@ def _pick_c_block(t_in: int, v: int, c: int, stride: int) -> int:
     return int(min(cb, c))
 
 
-def _tshift_kernel(x_ref, pos_ref, out_ref, *, stride: int, span: int,
-                   mode: str):
+def _tshift_kernel(x_ref, pos_ref, out_ref, y_ref, *, stride: int,
+                   span: int, mode: str):
     x = x_ref[0]                       # (T_in, V, Cb)
     t_in, v, cb = x.shape
     t_out = t_in // stride
@@ -76,29 +76,37 @@ def _tshift_kernel(x_ref, pos_ref, out_ref, *, stride: int, span: int,
     amt = lo + span                    # in [0, 2*span]
 
     # y[i] = x[i + lo] with zero fill: first shift left by `amt` via binary
-    # decomposition (lane-wise selects), anchored at -span
+    # decomposition (lane-wise selects), anchored at -span.  The loop
+    # round-trips through a VMEM scratch ref: with SSA values the Mosaic
+    # stack allocator keeps every iteration's copy live (measured 52 MB of
+    # scoped VMEM on a (300,33,64) block — probe18); the ref store caps
+    # liveness at ~3 copies.
     pad_lo = span
     pad_hi = span + 2
-    zeros_lo = jnp.zeros((pad_lo, v, cb), x.dtype)
-    zeros_hi = jnp.zeros((pad_hi, v, cb), x.dtype)
-    y = jnp.concatenate([zeros_lo, x, zeros_hi], axis=0)
-    tp = y.shape[0]
+    y_ref[:pad_lo] = jnp.zeros((pad_lo, v, cb), x.dtype)
+    y_ref[pad_lo:pad_lo + t_in] = x
+    y_ref[pad_lo + t_in:] = jnp.zeros((pad_hi, v, cb), x.dtype)
     step = 1
     while step <= 2 * span:
+        y = y_ref[:]
         shifted = jnp.concatenate(
             [y[step:], jnp.zeros((step, v, cb), x.dtype)], axis=0)
         bit = ((amt // step) % 2 == 1)[None, None, :]
-        y = jnp.where(bit, shifted, y)
+        y_ref[:] = jnp.where(bit, shifted, y)
         step *= 2
+    y = y_ref[:]
     # after the shift, y[i] == concat[i + amt] == x[i + lo] (zeros OOB):
     # the pad_lo offset and the +span in amt cancel, so the output window
-    # starts at i = 0 (same anchoring as ops/temporal_shift._shift_roll)
-    y0 = jax.lax.slice(y, (0, 0, 0),
-                       ((t_out - 1) * stride + 1, v, cb),
-                       (stride, 1, 1))
-    y1 = jax.lax.slice(y, (1, 0, 0),
-                       ((t_out - 1) * stride + 2, v, cb),
-                       (stride, 1, 1))
+    # starts at i = 0 (same anchoring as ops/temporal_shift._shift_roll).
+    # Strided slices are not Mosaic-lowerable (strides confined to [1,2));
+    # downsample via a leading-dim reshape instead, which is layout-free
+    # (tiling only constrains the trailing (V, C) dims).
+    if stride == 1:
+        y0 = y[:t_out]
+        y1 = y[1:t_out + 1]
+    else:
+        y0 = y[:t_out * stride].reshape(t_out, stride, v, cb)[:, 0]
+        y1 = y[1:t_out * stride + 1].reshape(t_out, stride, v, cb)[:, 0]
     if mode == "diff":
         out_ref[0] = y1 - y0
     else:
@@ -134,7 +142,12 @@ def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
             out_specs=pl.BlockSpec((1, t_out, v, cb),
                                    lambda i, j: (i, 0, 0, j),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((t_in + 2 * span + 2, v, cb), x.dtype)],
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, pos[None])
     return out[..., :c]
 
