@@ -80,21 +80,22 @@ def _tshift_kernel(x_ref, pos_ref, out_ref, y_ref, *, stride: int,
     # round-trips through a VMEM scratch ref: with SSA values the Mosaic
     # stack allocator keeps every iteration's copy live (measured 52 MB of
     # scoped VMEM on a (300,33,64) block — probe18); the ref store caps
-    # liveness at ~3 copies.
+    # liveness at ~3 copies.  The scratch carries a 2*span zero tail that
+    # no iteration ever writes, so each step's shifted read is a STATIC
+    # in-bounds slice — no per-step concat with a zeros block (the concat
+    # form OOM-killed the Mosaic compile on the 20-instance model graph).
     pad_lo = span
-    pad_hi = span + 2
+    l0 = pad_lo + t_in + span + 2      # live region; [l0, l0+2*span) stays 0
     y_ref[:pad_lo] = jnp.zeros((pad_lo, v, cb), x.dtype)
     y_ref[pad_lo:pad_lo + t_in] = x
-    y_ref[pad_lo + t_in:] = jnp.zeros((pad_hi, v, cb), x.dtype)
+    y_ref[pad_lo + t_in:] = jnp.zeros(
+        (y_ref.shape[0] - pad_lo - t_in, v, cb), x.dtype)
     step = 1
     while step <= 2 * span:
-        y = y_ref[:]
-        shifted = jnp.concatenate(
-            [y[step:], jnp.zeros((step, v, cb), x.dtype)], axis=0)
         bit = ((amt // step) % 2 == 1)[None, None, :]
-        y_ref[:] = jnp.where(bit, shifted, y)
+        y_ref[:l0] = jnp.where(bit, y_ref[step:step + l0], y_ref[:l0])
         step *= 2
-    y = y_ref[:]
+    y = y_ref[:l0]
     # after the shift, y[i] == concat[i + amt] == x[i + lo] (zeros OOB):
     # the pad_lo offset and the +span in amt cancel, so the output window
     # starts at i = 0 (same anchoring as ops/temporal_shift._shift_roll).
@@ -143,7 +144,7 @@ def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
                                    lambda i, j: (i, 0, 0, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((t_in + 2 * span + 2, v, cb), x.dtype)],
+                pltpu.VMEM((t_in + 4 * span + 2, v, cb), x.dtype)],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
