@@ -70,6 +70,56 @@ def edge_aggregate(
     return jnp.moveaxis(summed, 0, -2)
 
 
+def sddmm(
+    a: jax.Array,
+    b: jax.Array,
+    edges: Dict[str, jax.Array],
+) -> jax.Array:
+    """Sampled dense-dense matmul: per-edge scores from node embeddings.
+
+    score_e = <a[..., src_e, :], b[..., dst_e, :]> for each COO edge — the
+    op that closes the adaptive-adjacency loop (SpMM aggregates with the
+    edge weights, SDDMM produces/updates them from data; cf. the learned
+    data-dependent adjacency of AGCN-style models, which the reference
+    inherits vestigially via its unused `A` buffers, model/shift_gcn.py:78).
+
+    On TPU this lowers to two gathers + a lane reduction (VPU); for the
+    tiny skeleton graphs (E<=40) the cost is negligible next to the
+    (V, C) matmuls, so no Pallas kernel is warranted.
+
+    Args:
+      a: (..., V, C) source-side embeddings.
+      b: (..., V, C) destination-side embeddings.
+      edges: dict with int32 ``src``/``dst`` (E,).
+
+    Returns:
+      (..., E) per-edge scores.
+    """
+    ga = jnp.take(a, edges["src"], axis=-2)  # (..., E, C)
+    gb = jnp.take(b, edges["dst"], axis=-2)  # (..., E, C)
+    return jnp.sum(ga * gb, axis=-1)
+
+
+def sddmm_dense(
+    a: jax.Array,
+    b: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Dense-masked SDDMM: (A @ B^T) * mask, for when the score matrix is
+    consumed as a dense (V, V) adjacency anyway (V is 25/33 here, so the
+    full product is one small MXU matmul and the 'sampling' is a select).
+
+    Args:
+      a: (..., V, C); b: (..., V, C); mask: (V, V) 0/1 sparsity pattern.
+
+    Returns:
+      (..., V, V) masked score matrix.
+    """
+    scores = jnp.einsum("...vc,...uc->...vu", a, b,
+                        preferred_element_type=jnp.float32)
+    return scores * mask
+
+
 def edge_aggregate_onehot(
     x: jax.Array,
     edges: Dict[str, jax.Array],

@@ -9,11 +9,14 @@ where P_in / P_out are per-channel circular rolls along the joint axis
 a fusion barrier — so the chain costs ~4 HBM round trips.  This kernel does
 it in ONE pass:
 
-- the per-channel roll is a *shear*: lane c rolls by (c mod V).  The roll
-  amount is LINEAR in the lane index, which is exactly the TPU's
-  dynamic-rotate-with-stride instruction (tpu.dynamic_rotate, exposed as
-  pltpu.roll(x, shift, axis, stride, stride_axis)) — ONE hardware op per
-  shear, entirely in VMEM,
+- the per-channel roll is a *shear*: lane c rolls by (c mod V).  Any
+  per-lane roll decomposes into ceil(log2 V) conditional fixed rolls
+  (binary decomposition of the roll amount), each a cheap VPU
+  slice+concat+select entirely in VMEM.  (The roll amount is linear in
+  the lane index, which is exactly tpu.dynamic_rotate-with-stride — ONE
+  hardware op — but Mosaic rejects it for the unaligned V=33 sublane dim:
+  "unsupported unaligned shape", probe20.  Revisit if alignment support
+  lands.),
 - the pointwise contraction runs on the MXU over the (rows*V, C) view,
 - gate multiply and bias add fuse in between.
 
@@ -48,27 +51,38 @@ _VMEM_BLOCK_BUDGET = 14 * 1024 * 1024
 def pick_row_block(v: int, c: int, d: int) -> int:
     """Largest power-of-two row block whose working set fits the budget."""
     # 2c+2d: double-buffered in/out pipeline blocks; +c sheared copy;
-    # +d matmul result; +2·max(c,d) slack for the rotate results (the
-    # shear runs on the input side in the dx kernel: W transposed, c > d)
-    bytes_per_row = v * (3 * c + 3 * d + 2 * max(c, d)) * 4
+    # +d matmul result; +6·max(c,d): the Mosaic stack keeps every rolled
+    # copy of the ceil(log2 V)~6-step shear loop live, and the shear runs
+    # on the input side in the dx kernel (W transposed, c > d there)
+    bytes_per_row = v * (3 * c + 3 * d + 6 * max(c, d)) * 4
     rb = _VMEM_BLOCK_BUDGET // bytes_per_row
     rb = 1 << max(5, int(np.floor(np.log2(max(rb, 32)))))
     return int(min(rb, 256))
 
 
 def _shear_in(vals: jax.Array, v: int) -> jax.Array:
-    """out[r, u, c] = vals[r, (u + c) % V, c].
-
-    Rotation is modular, so the needed per-lane amount -c is (V-1)*c mod V
-    — a single sublane dynamic-rotate with lane stride V-1 (pltpu.roll
-    requires a non-negative stride).
-    """
-    return pltpu.roll(vals, 0, 1, stride=v - 1, stride_axis=2)
+    """out[r, u, c] = vals[r, (u + c) % V, c]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, dimension=2)
+    return _perlane_roll_amt(vals, lane % v, v)
 
 
 def _shear_out(vals: jax.Array, v: int) -> jax.Array:
     """out[r, u, d] = vals[r, (u - d) % V, d]."""
-    return pltpu.roll(vals, 0, 1, stride=1, stride_axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, dimension=2)
+    return _perlane_roll_amt(vals, (v - lane % v) % v, v)
+
+
+def _perlane_roll_amt(vals: jax.Array, amt: jax.Array, v: int) -> jax.Array:
+    y = vals
+    bits = max(1, int(np.ceil(np.log2(max(v, 2)))))
+    for k in range(bits + 1):
+        step = 1 << k
+        if step >= v:
+            # amounts are < V, so higher bits never fire
+            break
+        rolled = jnp.roll(y, -step, axis=1)
+        y = jnp.where(((amt >> k) & 1) == 1, rolled, y)
+    return y
 
 
 def _fwd_kernel(x_ref, gate_ref, w_ref, b_ref, ogate_ref, out_ref, *,

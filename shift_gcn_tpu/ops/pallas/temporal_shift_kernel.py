@@ -1,12 +1,15 @@
 """Pallas TPU kernel for the learnable fractional temporal shift.
 
 The XLA lowering (ops/temporal_shift.py) runs a 2*MAX_SHIFT+2-tap depthwise
-conv although only TWO taps are nonzero per channel (bilinear hats).  This
-kernel does the exact 2-tap computation in VMEM: the integer part of each
-channel's shift becomes a per-lane shift via binary decomposition
-(ceil(log2(2*MAX_SHIFT)) conditional zero-fill shifts, each a cheap VPU
-select), the fractional part a 2-slice lerp — one HBM read + one write per
-element.
+conv over an im2col'd window; this kernel computes the same hat-tap sum in
+VMEM in ONE HBM read + one write per element: the per-channel bilinear hat
+is materialized as a tiny (K=2*span+2, C) coefficient matrix on the XLA
+side (at most two nonzeros per column), the input is zero-padded on the
+XLA side, and the kernel is a straight-line chain of K static slice+FMA
+ops.  Straight-line slices-of-SSA-values are deliberate: earlier variants
+(per-lane binary-decomposition shifts through a VMEM scratch ref, or with
+per-step zero concats) made the remote Mosaic compile pathologically slow
+(225 s for one kernel) or OOM-killed it on the 20-instance model graph.
 
 Semantics identical to ops/temporal_shift.py::_shift_roll (itself oracle-
 tested against the reference CUDA kernel semantics,
@@ -16,17 +19,16 @@ model/Temporal_shift/cuda/shift_cuda_kernel.cu:11-76):
                       + frac_c  * x[n, t*stride + lo_c + 1, v, c]
 
 with zero out-of-range reads, lo = floor(ypos_eff), frac = ypos_eff - lo.
+Stride 2 never lowers a strided slice (not Mosaic-supported): the padded
+input is split into even/odd temporal phases by a leading-dim reshape and
+each tap reads the phase of its parity.
+
 The custom VJP reproduces the reference's constraint backward exactly:
 grad_input is the transposed shift (the same kernel applied to the
 cotangent with negated positions, plus temporal dilation for stride 2),
 xpos grads are zero, ypos moves in fixed ±0.01 steps
 (shift_cuda_kernel.cu:370-395).  xpos is treated as exactly zero (see
 ASSUME_XPOS_ZERO in ops/temporal_shift.py for why this is sound).
-
-Status: bit-exact in interpret mode and standalone on TPU; composition
-into full model graphs is blocked by the platform's remote-compile bug
-(CLAUDE.md) — kept as the measured-speed-of-light candidate for when that
-clears.
 """
 
 from __future__ import annotations
@@ -65,53 +67,44 @@ def _pick_c_block(t_in: int, v: int, c: int, stride: int) -> int:
     return int(min(cb, c))
 
 
-def _tshift_kernel(x_ref, pos_ref, out_ref, y_ref, *, stride: int,
-                   span: int, mode: str):
-    x = x_ref[0]                       # (T_in, V, Cb)
-    t_in, v, cb = x.shape
-    t_out = t_in // stride
-    pos = pos_ref[0]                   # (Cb,)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - lo.astype(pos.dtype))[None, None, :]
-    amt = lo + span                    # in [0, 2*span]
+def _tap_coefficients(pos: jax.Array, span: int, mode: str) -> jax.Array:
+    """(K, C) hat coefficients: out[t] = sum_k coef[k] * xpad[t + k].
 
-    # y[i] = x[i + lo] with zero fill: first shift left by `amt` via binary
-    # decomposition (lane-wise selects), anchored at -span.  The loop
-    # round-trips through a VMEM scratch ref: with SSA values the Mosaic
-    # stack allocator keeps every iteration's copy live (measured 52 MB of
-    # scoped VMEM on a (300,33,64) block — probe18); the ref store caps
-    # liveness at ~3 copies.  The scratch carries a 2*span zero tail that
-    # no iteration ever writes, so each step's shifted read is a STATIC
-    # in-bounds slice — no per-step concat with a zeros block (the concat
-    # form OOM-killed the Mosaic compile on the 20-instance model graph).
-    pad_lo = span
-    l0 = pad_lo + t_in + span + 2      # live region; [l0, l0+2*span) stays 0
-    y_ref[:pad_lo] = jnp.zeros((pad_lo, v, cb), x.dtype)
-    y_ref[pad_lo:pad_lo + t_in] = x
-    y_ref[pad_lo + t_in:] = jnp.zeros(
-        (y_ref.shape[0] - pad_lo - t_in, v, cb), x.dtype)
-    step = 1
-    while step <= 2 * span:
-        bit = ((amt // step) % 2 == 1)[None, None, :]
-        y_ref[:l0] = jnp.where(bit, y_ref[step:step + l0], y_ref[:l0])
-        step *= 2
-    y = y_ref[:l0]
-    # after the shift, y[i] == concat[i + amt] == x[i + lo] (zeros OOB):
-    # the pad_lo offset and the +span in amt cancel, so the output window
-    # starts at i = 0 (same anchoring as ops/temporal_shift._shift_roll).
-    # Strided slices are not Mosaic-lowerable (strides confined to [1,2));
-    # downsample via a leading-dim reshape instead, which is layout-free
-    # (tiling only constrains the trailing (V, C) dims).
-    if stride == 1:
-        y0 = y[:t_out]
-        y1 = y[1:t_out + 1]
-    else:
-        y0 = y[:t_out * stride].reshape(t_out, stride, v, cb)[:, 0]
-        y1 = y[1:t_out * stride + 1].reshape(t_out, stride, v, cb)[:, 0]
+    xpad is x zero-padded by `span` frames in front, so tap k reads
+    x[t + k - span]; the hat places (1-frac) at k = lo+span and frac at
+    k = lo+span+1.  mode="diff" instead produces y1 - y0 (the ypos
+    direction value used by the constraint backward).
+    """
+    lo = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - lo.astype(pos.dtype)).astype(jnp.float32)
+    k = jnp.arange(2 * span + 2, dtype=jnp.int32)[:, None]   # (K, 1)
+    on0 = (k == (lo + span)[None, :]).astype(jnp.float32)
+    on1 = (k == (lo + span + 1)[None, :]).astype(jnp.float32)
     if mode == "diff":
-        out_ref[0] = y1 - y0
+        return on1 - on0
+    return (1.0 - frac)[None, :] * on0 + frac[None, :] * on1
+
+
+def _tshift_kernel(x_ref, coef_ref, out_ref, *, stride: int, span: int):
+    xp = x_ref[0]                       # (Tp, V, Cb) zero-padded input
+    coef = coef_ref[:]                  # (K, Cb)
+    tp, v, cb = xp.shape
+    k_taps = coef.shape[0]
+    t_out = (tp - 2 * span - 2) // stride
+    if stride == 1:
+        acc = xp[0:t_out] * coef[0][None, None, :]
+        for k in range(1, k_taps):
+            acc = acc + xp[k:k + t_out] * coef[k][None, None, :]
     else:
-        out_ref[0] = y0 * (1.0 - frac) + y1 * frac
+        # xpad[s*t + k] = phase[k % s][t + k // s]; leading-dim reshape is
+        # layout-free (tiling only constrains the trailing (V, C) dims)
+        ph = xp[: (tp // stride) * stride].reshape(
+            tp // stride, stride, v, cb)
+        acc = ph[0:t_out, 0] * coef[0][None, None, :]
+        for k in range(1, k_taps):
+            q, r = divmod(k, stride)
+            acc = acc + ph[q:q + t_out, r] * coef[k][None, None, :]
+    out_ref[0] = acc
 
 
 def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
@@ -126,30 +119,33 @@ def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
             [x, jnp.zeros((n, t_in, v, pad_c), x.dtype)], axis=-1)
         pos = jnp.concatenate([pos, jnp.zeros((pad_c,), pos.dtype)])
     cpad = c + pad_c
+    coef = _tap_coefficients(pos, span, mode).astype(x.dtype)
+    # zero-pad T on the XLA side (fused into the producer); `span` in
+    # front so tap k reads x[t + k - span], span+2 behind so every tap
+    # slice is statically in bounds
+    xp = jnp.pad(x, ((0, 0), (span, span + 2), (0, 0), (0, 0)))
+    tp = t_in + 2 * span + 2
     grid = (n, cpad // cb)
     out = pl.pallas_call(
-        functools.partial(_tshift_kernel, stride=stride, span=span,
-                          mode=mode),
+        functools.partial(_tshift_kernel, stride=stride, span=span),
         interpret=_INTERPRET,
         out_shape=jax.ShapeDtypeStruct((n, t_out, v, cpad), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, t_in, v, cb), lambda i, j: (i, 0, 0, j),
+                pl.BlockSpec((1, tp, v, cb), lambda i, j: (i, 0, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cb), lambda i, j: (0, j),
+                pl.BlockSpec((2 * span + 2, cb), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, t_out, v, cb),
                                    lambda i, j: (i, 0, 0, j),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((t_in + 4 * span + 2, v, cb), x.dtype)],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, pos[None])
+    )(xp, coef)
     return out[..., :c]
 
 
