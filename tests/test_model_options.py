@@ -92,6 +92,43 @@ def test_bf16_activation_mode_trains_and_stays_close():
     assert abs(losses["f32"][1] - losses["act16"][1]) < 0.1
 
 
+def test_bf16_activation_mode_converges_like_fp32():
+    """Convergence parity for the production bf16-activation default: both
+    dtypes learn a separable synthetic task to high train accuracy.  (The
+    bench and mediapipe configs default to activation_dtype=bfloat16; this
+    guards that the low-precision backbone actually trains, not just that
+    one step's loss tracks.)"""
+    rng = np.random.default_rng(7)
+    n, t = 32, 16
+    labels = rng.integers(0, 2, n)
+    data = rng.standard_normal((n, 3, t, 25, 1)).astype(np.float32) * 0.1
+    drift = np.linspace(0, 1, t)[:, None, None]
+    for i in range(n):
+        if labels[i] == 1:
+            data[i, 1] += drift
+    lr = jnp.asarray(0.05, jnp.float32)
+
+    accs = {}
+    for name, cfg in [("f32", _cfg()),
+                      ("act16", _cfg(activation_dtype="bfloat16"))]:
+        state = create_train_state(jax.random.key(1), cfg)
+        wd = build_weight_decay_tree(state.params)
+        step = jax.jit(make_train_step(cfg, wd))
+        for epoch in range(12):
+            order = np.random.default_rng(epoch).permutation(n)
+            for i in range(0, n, 8):
+                idx = order[i:i + 8]
+                batch = {"data": jnp.asarray(data[idx]),
+                         "label": jnp.asarray(labels[idx], jnp.int32)}
+                state, metrics = step(state, batch, lr)
+        logits, _ = apply(state.params, state.bn_state,
+                          jnp.asarray(data), cfg, training=False)
+        accs[name] = float(
+            (np.asarray(logits).argmax(-1) == labels).mean())
+    assert accs["f32"] >= 0.9, accs
+    assert accs["act16"] >= 0.9, accs
+
+
 def test_shift_impls_agree_through_model():
     cfg = _cfg()
     params, state = init_params(jax.random.key(1), cfg)
