@@ -112,13 +112,23 @@ def main() -> None:
         state, metrics = train_step(state, batch, lr)
     jax.block_until_ready(metrics)
 
+    # Host->device transfers run on a prefetch thread, double-buffered
+    # against the device step (device_put through this platform's socket
+    # relay blocks the calling thread; a real input pipeline overlaps the
+    # copy with compute, so the bench does too — every batch is still
+    # transferred inside the timed region).
+    from concurrent.futures import ThreadPoolExecutor
+
     for attempt in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            batch = jax.device_put(host_batch)
-            state, metrics = train_step(state, batch, lr)
-        jax.block_until_ready(metrics)
-        dt = time.perf_counter() - t0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            t0 = time.perf_counter()
+            pending = pool.submit(jax.device_put, host_batch)
+            for _ in range(steps):
+                batch = pending.result()
+                pending = pool.submit(jax.device_put, host_batch)
+                state, metrics = train_step(state, batch, lr)
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
         clips_per_sec = steps * batch_size / dt
         # a full train step on one chip cannot plausibly exceed ~3000
         # clips/s — faster readings mean the zombie-worker no-op mode
@@ -291,11 +301,17 @@ def _bench_fourstream(args):
     for _ in range(2):
         state4, metrics = step(state4, jax.device_put(host_batch), lr)
     jax.block_until_ready(metrics)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state4, metrics = step(state4, jax.device_put(host_batch), lr)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.perf_counter()
+        pending = pool.submit(jax.device_put, host_batch)
+        for _ in range(args.steps):
+            batch = pending.result()
+            pending = pool.submit(jax.device_put, host_batch)
+            state4, metrics = step(state4, batch, lr)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
     stream_clips = args.steps * args.batch_size * len(fs.STREAMS) / dt
     print(json.dumps({
         "metric": "fourstream_stream_clips_per_sec",

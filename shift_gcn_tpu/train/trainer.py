@@ -265,42 +265,74 @@ class Trainer:
         profiling = bool(cfg.profile_dir) and epoch == self.start_epoch
         if profiling:
             jax.profiler.start_trace(cfg.profile_dir)
-        t0 = time.time()
-        mark = t0
-        for b, (data, label, index, mask) in enumerate(it.epoch(epoch)):
-            batch = mesh_lib.shard_batch(self.mesh, {
+        # The hot loop is fully pipelined: host batching + the (blocking)
+        # host->device transfer run on a prefetch thread one step ahead,
+        # and per-step metrics stay ON DEVICE until the epoch ends — any
+        # per-step np.asarray would synchronize with the accelerator and
+        # serialize transfer against compute (the reference pays exactly
+        # that cost with loss.data.item() per batch, main.py:409-421).
+        from concurrent.futures import ThreadPoolExecutor
+
+        it_epoch = iter(it.epoch(epoch))
+
+        def fetch_next():
+            try:
+                data, label, index, mask = next(it_epoch)
+            except StopIteration:
+                return None
+            return mesh_lib.shard_batch(self.mesh, {
                 "data": data.astype(np.float32),
                 "label": label,
             })
-            now = time.time()
-            timer["dataloader"] += now - mark
-            self.state, metrics = self._train_step(self.state, batch, lr_arr)
-            if profiling and b + 1 >= cfg.profile_steps:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                profiling = False
-                self.logger.log(
-                    f"\tProfiler trace written to {cfg.profile_dir}")
+
+        start_step = int(np.asarray(self.state.global_step).reshape(-1)[0])
+        step_metrics = []
+        t0 = time.time()
+        metrics = None
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(fetch_next)
+            b = 0
+            while True:
+                mark = time.time()
+                batch = pending.result()
+                timer["dataloader"] += time.time() - mark
+                if batch is None:
+                    break
+                pending = pool.submit(fetch_next)
+                mark = time.time()
+                self.state, metrics = self._train_step(
+                    self.state, batch, lr_arr)
+                step_metrics.append(metrics)
+                if profiling and b + 1 >= cfg.profile_steps:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.log(
+                        f"\tProfiler trace written to {cfg.profile_dir}")
+                timer["model"] += time.time() - mark
+                step_no = start_step + b + 1
+                if (step_no % cfg.log_interval) == 0:
+                    loss_arr = np.asarray(metrics["loss"])  # sync (rare)
+                    extra = ""
+                    if cfg.fourstream:
+                        extra = "  streams:" + "/".join(
+                            f"{v:.3f}" for v in loss_arr.reshape(-1))
+                    self.logger.log(
+                        f"\tBatch({b}/{nb}) done. "
+                        f"Loss: {float(np.mean(loss_arr)):.4f}  "
+                        f"lr:{lr:.6f}{extra}")
+                b += 1
+        if metrics is not None:
             mark = time.time()
-            timer["model"] += mark - now
-            step_no = int(np.asarray(self.state.global_step).reshape(-1)[0])
-            loss_val = float(np.mean(np.asarray(metrics["loss"])))
-            if (step_no % cfg.log_interval) == 0:
-                extra = ""
-                if cfg.fourstream:
-                    per = np.asarray(metrics["loss"]).reshape(-1)
-                    extra = "  streams:" + "/".join(
-                        f"{v:.3f}" for v in per)
-                self.logger.log(
-                    f"\tBatch({b}/{nb}) done. "
-                    f"Loss: {loss_val:.4f}  lr:{lr:.6f}{extra}")
-            losses.append(loss_val)
-            accs.append(float(np.mean(np.asarray(metrics["acc"]))))
-            now = time.time()
-            timer["statistics"] += now - mark
-            mark = now
+            jax.block_until_ready(metrics)
+            timer["model"] += time.time() - mark
         if profiling:
             jax.profiler.stop_trace()
+        mark = time.time()
+        for m in step_metrics:
+            losses.append(float(np.mean(np.asarray(m["loss"]))))
+            accs.append(float(np.mean(np.asarray(m["acc"]))))
+        timer["statistics"] += time.time() - mark
         dt = time.time() - t0
         total = sum(timer.values())
         proportion = {k: f"{int(round(v * 100 / total)):02d}%"
@@ -329,6 +361,11 @@ class Trainer:
         n_sum = 0.0
         f_w = open(wrong_file, "w") if wrong_file else None
         f_r = open(result_file, "w") if result_file else None
+        # Keep per-batch outputs on device until the loop ends: a per-batch
+        # np.asarray would synchronize and serialize host batching against
+        # device compute (logits are (B, num_class) scalars-scale — holding
+        # an epoch of them costs nothing).
+        pending_out = []
         try:
             for data, label, index, mask in it.epoch(0):
                 batch = mesh_lib.shard_batch(self.mesh, {
@@ -338,6 +375,8 @@ class Trainer:
                 })
                 logits, lsum, n = self._eval_step(
                     self.state.params, self.state.bn_state, batch)
+                pending_out.append((logits, lsum, n, label, index, mask))
+            for logits, lsum, n, label, index, mask in pending_out:
                 logits = np.asarray(logits)
                 valid = mask > 0
                 scores.append(logits[valid])
