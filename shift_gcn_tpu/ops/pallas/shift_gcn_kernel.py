@@ -102,7 +102,7 @@ def _fwd_kernel(x_ref, gate_ref, w_ref, b_ref, ogate_ref, out_ref, *,
     z = jnp.dot(h2, w_ref[:], preferred_element_type=jnp.float32)
     z = z + b_ref[:]
     z = z.reshape(r_blk, v, d)
-    out_ref[:] = _shear_out(z, v) * ogate_ref[:]
+    out_ref[:] = (_shear_out(z, v) * ogate_ref[:]).astype(out_ref.dtype)
 
 
 def _run_fwd(x, gate, w, bias, out_gate, row_block=None):
@@ -114,7 +114,9 @@ def _run_fwd(x, gate, w, bias, out_gate, row_block=None):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, v=v),
         interpret=_INTERPRET,
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], v, d), jnp.float32),
+        # output follows the activation dtype (bf16-act mode flows bf16
+        # through the backbone); the MXU contraction still accumulates f32
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], v, d), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -154,7 +156,7 @@ def _run_dx(g, gate, w, row_block):
 
 
 def _shear_gate_kernel(x_ref, gate_ref, out_ref, *, v: int):
-    out_ref[:] = _shear_in(x_ref[:], v) * gate_ref[:]
+    out_ref[:] = (_shear_in(x_ref[:], v) * gate_ref[:]).astype(out_ref.dtype)
 
 
 def _run_shear_gate(x, gate, row_block=None):
@@ -164,7 +166,7 @@ def _run_shear_gate(x, gate, row_block=None):
     return pl.pallas_call(
         functools.partial(_shear_gate_kernel, v=v),
         interpret=_INTERPRET,
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], v, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], v, c), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(x.shape[0] // row_block,),
             in_specs=[
@@ -216,28 +218,31 @@ def fused_shift_gcn(
 
 
 def _fused_fwd(x, gate, w, bias, row_block):
-    return fused_shift_gcn(x, gate, w, bias, row_block), (x, gate, w)
+    return fused_shift_gcn(x, gate, w, bias, row_block), (x, gate, w, bias)
 
 
 def _fused_bwd(row_block, residuals, g):
-    x, gate, w = residuals
+    x, gate, w, bias = residuals
     r, v, c = x.shape
 
-    dx = _run_dx(g, gate[None], w, row_block)
+    # dx follows g's dtype (= x's: the fwd output dtype tracks x)
+    dx = _run_dx(g, gate[None], w, row_block).astype(x.dtype)
 
-    # weight/gate/bias grads via one fused shear recompute + XLA matmuls
+    # weight/gate/bias grads via one fused shear recompute + XLA matmuls;
+    # param cotangents accumulate and return in the params' own dtype
     h = _run_shear_gate(x, gate[None], row_block)          # shifted*gated x
     gz_full = _run_shear_gate(
         g, jnp.ones((1, v, g.shape[2]), jnp.float32), row_block)
     # gz_full = shear_in(g) == undo of out-shear
     dw = jnp.einsum("rvc,rvd->cd", h, gz_full,
-                    preferred_element_type=jnp.float32)
-    dbias = jnp.sum(gz_full, axis=(0, 1))
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    dbias = jnp.sum(gz_full.astype(jnp.float32),
+                    axis=(0, 1)).astype(bias.dtype)
     # dgate = sum_r shear_in(x) * (gz @ W^T); shear_in(x) = h / gate
     gw = jnp.einsum("rvd,cd->rvc", gz_full, w,
                     preferred_element_type=jnp.float32)
     shifted_x = jnp.where(gate[None] != 0, h / gate[None], 0.0)
-    dgate = jnp.sum(shifted_x * gw, axis=0)
+    dgate = jnp.sum(shifted_x * gw, axis=0).astype(gate.dtype)
     return dx, dgate, dw, dbias
 
 

@@ -145,6 +145,29 @@ def test_shift_impls_agree_through_model():
     np.testing.assert_allclose(outs["matmul"], outs["conv"], atol=1e-4)
 
 
+def test_pallas_spatial_with_bf16_activations_trains():
+    """Regression (probe23): the fused Pallas spatial kernel under bf16
+    activations tripped a grad-dtype assert (f32 cotangent for a bf16
+    primal). Interpreter mode; a full train step must run and stay f32
+    in the params."""
+    import shift_gcn_tpu.ops.pallas.shift_gcn_kernel as pk
+
+    batch = _batch()
+    lr = jnp.asarray(0.1, jnp.float32)
+    cfg = _cfg(use_pallas=True, activation_dtype="bfloat16")
+    state = create_train_state(jax.random.key(0), cfg)
+    wd = build_weight_decay_tree(state.params)
+    step = jax.jit(make_train_step(cfg, wd))
+    pk._INTERPRET = True
+    try:
+        s, m = step(state, batch, lr)
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        pk._INTERPRET = False
+    for leaf in jax.tree_util.tree_leaves(s.params):
+        assert leaf.dtype in (jnp.float32, jnp.int32)
+
+
 def test_tcn_fuse_with_bf16_activations_trains(monkeypatch):
     """Regression: fused temporal shift+linear under bf16 activations must
     not hit the mixed-dtype conv-transpose rejection."""

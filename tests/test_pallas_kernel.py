@@ -61,3 +61,34 @@ def test_grads_match_reference():
         np.testing.assert_allclose(
             np.asarray(a).reshape(-1), np.asarray(bb).reshape(-1),
             atol=3e-3, rtol=1e-3, err_msg=name)
+
+
+def test_bf16_activation_dtypes():
+    """bf16 activations with f32 params: output and cotangents must carry
+    each primal's own dtype (probe23 regression — jax.grad asserts on a
+    f32 cotangent for a bf16 primal)."""
+    x, mask, w, b = _case(r=40, v=25, c=8, d=12)
+    x16 = jnp.asarray(x, dtype=jnp.bfloat16)
+    gate = jnp.tanh(jnp.asarray(mask[0])) + 1.0
+    w_, b_ = jnp.asarray(w), jnp.asarray(b.reshape(-1))
+
+    out = pk.fused_shift_gcn(x16, gate, w_, b_, 32)
+    assert out.dtype == jnp.bfloat16
+
+    def loss(x_, gate_, w2, b2):
+        return jnp.sum(pk.fused_shift_gcn(
+            x_, gate_, w2, b2, 32).astype(jnp.float32))
+
+    dx, dgate, dw, db = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        x16, gate, w_, b_)
+    assert dx.dtype == jnp.bfloat16
+    assert dgate.dtype == jnp.float32
+    assert dw.dtype == jnp.float32
+    assert db.dtype == jnp.float32
+
+    # numerics still track the f32 run at bf16 tolerance
+    ref = jax.grad(loss, argnums=(0,))(
+        jnp.asarray(x), gate, w_, b_)[0]
+    np.testing.assert_allclose(
+        np.asarray(dx, dtype=np.float32), np.asarray(ref),
+        atol=0.15, rtol=0.05)
