@@ -158,13 +158,19 @@ def shift_gcn_transform(
     return spatial_shift(out, -1)
 
 
-@functools.lru_cache(maxsize=None)
-def _circulant_mask(v: int, c: int, d: int) -> np.ndarray:
-    """(V, C, D) 0/1 mask with M[s, c, d] = [s == (c - d) mod V]."""
-    s = (np.arange(c)[:, None] - np.arange(d)[None, :]) % v  # (C, D)
-    m = np.zeros((v, c, d), dtype=np.float32)
-    m[s, np.arange(c)[:, None], np.arange(d)[None, :]] = 1.0
-    return m
+def _circulant_mask(v: int, c: int, d: int) -> jax.Array:
+    """(V, C, D) 0/1 mask with M[s, c, d] = [s == (c - d) mod V].
+
+    Built in-graph from iotas rather than as a host numpy constant: a dense
+    (33, 256, 256) f32 literal prints as ~35 MB of MLIR text, and with 10
+    blocks (fwd+bwd) the train-step module reached 58 MB — large enough to
+    crash this platform's remote compile helper on the fourstream graph.
+    The iota form is a few bytes of IR; XLA folds it at compile time.
+    """
+    si = jax.lax.broadcasted_iota(jnp.int32, (v, c, d), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (v, c, d), 1)
+    di = jax.lax.broadcasted_iota(jnp.int32, (v, c, d), 2)
+    return (si == (ci - di) % v).astype(jnp.float32)
 
 
 def shift_gcn_transform_circconv(
@@ -198,7 +204,7 @@ def shift_gcn_transform_circconv(
     gate = jnp.tanh(feature_mask.reshape(v, c)) + 1.0
     g2 = spatial_shift(gate[None], -1)[0]                 # (V, C) tiny
     u = x * g2.astype(x.dtype)
-    kern = jnp.asarray(_circulant_mask(v, c, d)) * weight[None]  # (V, C, D)
+    kern = _circulant_mask(v, c, d) * weight[None]        # (V, C, D)
     # compute_dtype (matmul-input casting) is deliberately NOT applied
     # here: the conv must be dtype-uniform (XLA's conv transpose rule
     # rejects mixed bf16-operand/f32-cotangent convs), and casting BOTH
