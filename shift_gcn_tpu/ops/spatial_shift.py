@@ -123,11 +123,14 @@ def shift_gcn_transform(
     multiply by gate (tanh(mask)+1), pointwise matmul + bias, shift_out.
     BatchNorm / residual / relu live in the model layer.
 
-    Lowering selected by SGT_SGCN_IMPL: "circconv" (default) folds the
-    whole chain into one circulant MXU conv (see
-    `shift_gcn_transform_circconv`); "chain" keeps the explicit
+    Lowering selected by SGT_SGCN_IMPL: "dft" (default) evaluates the
+    circulant in the joint-axis Fourier basis (see
+    `shift_gcn_transform_dft`); "circconv" folds the chain into one
+    circulant MXU conv with V× dead MACs; "chain" keeps the explicit
     gather→mul→matmul→gather sequence.  Measured (TPU v5e, batch 64,
-    T=300): circconv 232 train / 1042 eval clips/s vs chain 218 / 686.
+    T=300, bf16 activations): dft 410 train / 1297 eval clips/s vs
+    circconv 303 / 1150; fp32: dft 272/957, circconv 232/1042, chain
+    218/686 (probe23, docs/PERF.md).
 
     Args:
       x: (..., V, C_in).
@@ -141,7 +144,11 @@ def shift_gcn_transform(
     """
     import os
 
-    if os.environ.get("SGT_SGCN_IMPL", "circconv") == "circconv":
+    impl = os.environ.get("SGT_SGCN_IMPL", "dft")
+    if impl == "dft":
+        return shift_gcn_transform_dft(
+            x, weight, bias, feature_mask, compute_dtype=compute_dtype)
+    if impl == "circconv":
         return shift_gcn_transform_circconv(
             x, weight, bias, feature_mask, compute_dtype=compute_dtype)
     h = spatial_shift(x, +1)
@@ -228,5 +235,103 @@ def shift_gcn_transform_circconv(
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=u_pad.dtype)                # (R, V, D)
+    out = out.astype(x.dtype) + bias.reshape(1, 1, d).astype(x.dtype)
+    return out.reshape(lead + (v, d))
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_factors(v: int, c: int, d: int):
+    """Constant factors for the frequency-domain circulant lowering.
+
+    Real rfft basis (V, F) with F = V//2 + 1, the two twiddle planes
+    (F, C) / (F, D), and the Hermitian-weighted irfft basis (F, V).
+    All float32 numpy; cast to the compute dtype at use sites.
+    """
+    f = v // 2 + 1
+    vv = np.arange(v)[:, None]
+    ff = np.arange(f)[None, :]
+    th = 2.0 * np.pi * vv * ff / v                       # (V, F)
+    fwd_r = np.cos(th).astype(np.float32)                # Re DFT basis
+    fwd_i = (-np.sin(th)).astype(np.float32)             # Im DFT basis
+    cc = np.arange(c)[None, :]
+    thc = 2.0 * np.pi * np.arange(f)[:, None] * cc / v   # (F, C): w^{+fc}
+    tw1_r = np.cos(thc).astype(np.float32)
+    tw1_i = np.sin(thc).astype(np.float32)
+    dd = np.arange(d)[None, :]
+    thd = 2.0 * np.pi * np.arange(f)[:, None] * dd / v   # (F, D): w^{-fd}
+    tw2_r = np.cos(thd).astype(np.float32)
+    tw2_i = (-np.sin(thd)).astype(np.float32)
+    wgt = np.full((f, 1), 2.0 / v, dtype=np.float32)     # Hermitian fold
+    wgt[0, 0] = 1.0 / v
+    if v % 2 == 0:
+        wgt[-1, 0] = 1.0 / v                             # Nyquist (even V)
+    thv = 2.0 * np.pi * np.arange(f)[:, None] * np.arange(v)[None, :] / v
+    inv_r = (wgt * np.cos(thv)).astype(np.float32)       # (F, V)
+    inv_i = (-wgt * np.sin(thv)).astype(np.float32)
+    return fwd_r, fwd_i, tw1_r, tw1_i, tw2_r, tw2_i, inv_r, inv_i
+
+
+def shift_gcn_transform_dft(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    feature_mask: jax.Array,
+    *,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """The spatial Shift-GCN transform as a frequency-domain circulant.
+
+    Same math as `shift_gcn_transform_circconv` — y[v,d] = sum_{s,c}
+    K[s,c,d]·u[(v+s)%V,c] with K[s,c,d] = W[c,d]·[s == (c-d) mod V] —
+    but evaluated in the joint-axis Fourier basis, where the circulant
+    diagonalizes:
+
+        y_hat[f,d] = w^{-fd} · sum_c (u_hat[f,c] · w^{fc}) · W[c,d],
+        w = exp(2*pi*i/V)
+
+    The correlation kernel's transform conj(K_hat)[f,c,d] =
+    W[c,d]·w^{f(c-d)} factors into per-axis twiddles around the ORIGINAL
+    real W, so the whole transform is: rfft over V (one real matmul with a
+    (V, 2F) basis), an elementwise (F, C) twiddle, ONE true-size matmul
+    (R·2F, C)@(C, D) for both complex planes, an (F, D) twiddle, and an
+    irfft matmul — ~16-25x fewer MXU MACs than the circulant conv's V×
+    dead-FLOP kernel (which pads W to (V, C, D)).  All ops are plain
+    matmuls/elementwise: gradients are ordinary autodiff, exactly like the
+    conv lowering (reference model/shift_gcn.py:121-136 is plain torch).
+    """
+    v, c = x.shape[-2], x.shape[-1]
+    d = weight.shape[-1]
+    gate = jnp.tanh(feature_mask.reshape(v, c)) + 1.0
+    g2 = spatial_shift(gate[None], -1)[0]                 # (V, C) tiny
+    u = x * g2.astype(x.dtype)
+    del compute_dtype  # as in circconv: precision rides the activation dtype
+
+    fwd_r, fwd_i, tw1_r, tw1_i, tw2_r, tw2_i, inv_r, inv_i = (
+        jnp.asarray(a, dtype=u.dtype) for a in _dft_factors(v, c, d))
+
+    lead = x.shape[:-2]
+    u2 = u.reshape((-1, v, c))                            # (R, V, C)
+    # rfft over the joint axis: one matmul against the stacked basis
+    basis = jnp.concatenate([fwd_r, fwd_i], axis=1)       # (V, 2F)
+    uh = jnp.einsum("rvc,vf->rfc", u2, basis,
+                    preferred_element_type=u2.dtype)      # (R, 2F, C)
+    f = v // 2 + 1
+    uh_r, uh_i = uh[:, :f], uh[:, f:]
+    # twiddle w^{+fc}
+    ut_r = uh_r * tw1_r - uh_i * tw1_i
+    ut_i = uh_r * tw1_i + uh_i * tw1_r
+    # shared real W applied to both planes: ONE (R*2F, C)@(C, D) matmul
+    zt = jnp.einsum(
+        "rfc,cd->rfd", jnp.concatenate([ut_r, ut_i], axis=1),
+        weight.astype(u.dtype), preferred_element_type=u.dtype)
+    zt_r, zt_i = zt[:, :f], zt[:, f:]
+    # twiddle w^{-fd}
+    yh_r = zt_r * tw2_r - zt_i * tw2_i
+    yh_i = zt_r * tw2_i + zt_i * tw2_r
+    # irfft (Hermitian-weighted real matmul)
+    out = (jnp.einsum("rfd,fv->rvd", yh_r, inv_r,
+                      preferred_element_type=u.dtype)
+           + jnp.einsum("rfd,fv->rvd", yh_i, inv_i,
+                        preferred_element_type=u.dtype))
     out = out.astype(x.dtype) + bias.reshape(1, 1, d).astype(x.dtype)
     return out.reshape(lead + (v, d))

@@ -78,6 +78,46 @@ def test_circconv_transform_matches_chain(v, cin, cout, monkeypatch):
                                    rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("v,cin,cout", [(33, 64, 64), (25, 3, 64), (7, 5, 9),
+                                        (32, 16, 16)])
+def test_dft_transform_matches_chain(v, cin, cout, monkeypatch):
+    import jax
+    from shift_gcn_tpu.ops.spatial_shift import shift_gcn_transform_dft
+
+    monkeypatch.setenv("SGT_SGCN_IMPL", "chain")  # baseline = explicit chain
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4, v, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    fm = jnp.asarray(rng.standard_normal((1, v, cin)), jnp.float32)
+    a = np.asarray(shift_gcn_transform(x, w, b, fm))
+    c = np.asarray(shift_gcn_transform_dft(x, w, b, fm))
+    np.testing.assert_allclose(c, a, atol=5e-5)
+
+    def make_loss(fn):
+        def f(xx, ww, fmm):
+            return jnp.sum(fn(xx, ww, b, fmm) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    for ga, gc in zip(make_loss(shift_gcn_transform)(x, w, fm),
+                      make_loss(shift_gcn_transform_dft)(x, w, fm)):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(ga),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_env_selects_dft_impl(monkeypatch):
+    monkeypatch.setenv("SGT_SGCN_IMPL", "dft")
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 4, 33, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((8, 8)) * 0.1, jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    fm = jnp.asarray(rng.standard_normal((1, 33, 8)), jnp.float32)
+    a = np.asarray(shift_gcn_transform(x, w, b, fm))
+    monkeypatch.setenv("SGT_SGCN_IMPL", "chain")
+    c = np.asarray(shift_gcn_transform(x, w, b, fm))
+    np.testing.assert_allclose(a, c, atol=5e-5)
+
+
 def test_env_selects_circconv_impl(monkeypatch):
     monkeypatch.setenv("SGT_SGCN_IMPL", "circconv")
     rng = np.random.default_rng(8)
