@@ -320,6 +320,30 @@ def _apply_shift_tcn(
     else:
         _tshift = temporal_shift
 
+    if (_os.environ.get("SGT_TCN_BNFOLD", "0") == "1"
+            and _ts_mod.ASSUME_XPOS_ZERO
+            and _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "conv"
+            and _os.environ.get("SGT_TCN_FUSE", "0") != "1"):
+        # fold the BN affine through the per-channel shift into the 1x1
+        # weights (ops/temporal_shift.bn_shift_linear): no normalize pass
+        from shift_gcn_tpu.ops.batchnorm import bn_affine_coeffs
+
+        a_bn, b_bn, bn_state = bn_affine_coeffs(
+            x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
+            training=training, axis_name=axis_name)
+        w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T  # (C, D)
+        h = _ts_mod.bn_shift_linear(
+            x, a_bn, b_bn, params["shift_in"]["ypos"], w2,
+            params["temporal_linear"]["bias"])
+        h = jax.nn.relu(h)
+        h = _tshift(
+            h, params["shift_out"]["xpos"], params["shift_out"]["ypos"],
+            stride)
+        h, bn2_state = batch_norm(
+            h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
+            training=training, axis_name=axis_name)
+        return h, {"bn": bn_state, "bn2": bn2_state}
+
     h, bn_state = batch_norm(
         x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
         training=training, axis_name=axis_name)

@@ -74,12 +74,38 @@ def batch_norm(
     # stats always accumulate in fp32 (running stats are fp32; low-precision
     # activation modes would otherwise drift), output keeps x.dtype
     x32 = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    mean, var, new_state = _batch_stats(
+        x32, state, reduce_axes=reduce_axes, training=training,
+        momentum=momentum, axis_name=axis_name)
+    if not training:
+        mean = fs(mean)
+        var = fs(var)
+
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x32 - mean) * inv * fs(params["weight"]) + fs(params["bias"])
+    return out.astype(x.dtype), new_state
+
+
+def _batch_stats(
+    x32: jax.Array,
+    state: BNState,
+    *,
+    reduce_axes: Sequence[int],
+    training: bool,
+    momentum: float,
+    axis_name: Optional[str],
+) -> Tuple[jax.Array, jax.Array, BNState]:
+    """(mean, biased var, new state) with PyTorch running-stat semantics.
+
+    In training mode the returned mean/var keep the reduced dims
+    (keepdims=True); in eval mode the flat running stats are returned.
+    """
     if training:
         mean = jnp.mean(x32, axis=reduce_axes, keepdims=True)
         mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes, keepdims=True)
         n = 1
         for a in reduce_axes:
-            n *= x.shape[a]
+            n *= x32.shape[a]
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
             mean_sq = jax.lax.pmean(mean_sq, axis_name)
@@ -94,11 +120,36 @@ def batch_norm(
             + momentum * unbiased.reshape(-1),
             "num_batches_tracked": state["num_batches_tracked"] + 1,
         }
-    else:
-        mean = fs(state["running_mean"])
-        var = fs(state["running_var"])
-        new_state = state
+        return mean, var, new_state
+    return state["running_mean"], state["running_var"], state
 
-    inv = jax.lax.rsqrt(var + eps)
-    out = (x32 - mean) * inv * fs(params["weight"]) + fs(params["bias"])
-    return out.astype(x.dtype), new_state
+
+def bn_affine_coeffs(
+    x: jax.Array,
+    params: BNParams,
+    state: BNState,
+    *,
+    reduce_axes: Sequence[int],
+    training: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, BNState]:
+    """BN as per-feature affine coefficients: bn(x) == x * a + b.
+
+    Returns fp32 flat ``(a, b, new_state)`` with a = weight/sqrt(var+eps)
+    and b = bias - mean * a — identical stats/running-update semantics to
+    `batch_norm`.  Lets callers fold the normalize pass into an adjacent
+    matmul/conv instead of materializing bn(x).  Requires the feature
+    axes of x to be exactly the non-reduced axes flattened in order.
+    """
+    x32 = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    reduce_axes = tuple(sorted(a % x.ndim for a in reduce_axes))
+    mean, var, new_state = _batch_stats(
+        x32, state, reduce_axes=reduce_axes, training=training,
+        momentum=momentum, axis_name=axis_name)
+    mean = mean.reshape(-1)
+    var = var.reshape(-1)
+    a = params["weight"] * jax.lax.rsqrt(var + eps)
+    b = params["bias"] - mean * a
+    return a, b, new_state

@@ -239,35 +239,48 @@ def shift_gcn_transform_circconv(
     return out.reshape(lead + (v, d))
 
 
-@functools.lru_cache(maxsize=None)
+def _dft_angle(rows: int, cols: int, v: int) -> jax.Array:
+    """(rows, cols) fp32 angle plane 2*pi*i*j/V, built from iotas IN-GRAPH.
+
+    Emitting these planes as dense literals would repeat ~KB-scale
+    constants across every block/stream/fwd/bwd use — on this platform
+    oversized MLIR text crashes the remote compile helper (same failure
+    mode `_circulant_mask` hit; see its docstring).  Iota products are a
+    few bytes of IR and XLA folds them at compile time.  i*j stays exact
+    in fp32 up to ~16M — far above any (F, C/D/V) product here.
+    """
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    # reduce i*j mod V in INTEGER space (w^{ij} == w^{ij mod V}): keeps the
+    # angle in [0, 2*pi) so fp32 cos/sin stay accurate to ~1e-7 — the
+    # unreduced product reaches ~4e3 rad, where fp32 trig loses ~1e-4
+    return (2.0 * np.pi / v) * ((ri * ci) % v).astype(jnp.float32)
+
+
 def _dft_factors(v: int, c: int, d: int):
-    """Constant factors for the frequency-domain circulant lowering.
+    """In-graph constant factors for the frequency-domain circulant.
 
     Real rfft basis (V, F) with F = V//2 + 1, the two twiddle planes
     (F, C) / (F, D), and the Hermitian-weighted irfft basis (F, V).
-    All float32 numpy; cast to the compute dtype at use sites.
+    All fp32; cast to the compute dtype at use sites.
     """
     f = v // 2 + 1
-    vv = np.arange(v)[:, None]
-    ff = np.arange(f)[None, :]
-    th = 2.0 * np.pi * vv * ff / v                       # (V, F)
-    fwd_r = np.cos(th).astype(np.float32)                # Re DFT basis
-    fwd_i = (-np.sin(th)).astype(np.float32)             # Im DFT basis
-    cc = np.arange(c)[None, :]
-    thc = 2.0 * np.pi * np.arange(f)[:, None] * cc / v   # (F, C): w^{+fc}
-    tw1_r = np.cos(thc).astype(np.float32)
-    tw1_i = np.sin(thc).astype(np.float32)
-    dd = np.arange(d)[None, :]
-    thd = 2.0 * np.pi * np.arange(f)[:, None] * dd / v   # (F, D): w^{-fd}
-    tw2_r = np.cos(thd).astype(np.float32)
-    tw2_i = (-np.sin(thd)).astype(np.float32)
-    wgt = np.full((f, 1), 2.0 / v, dtype=np.float32)     # Hermitian fold
-    wgt[0, 0] = 1.0 / v
+    th = _dft_angle(v, f, v)                             # (V, F)
+    fwd_r = jnp.cos(th)                                  # Re DFT basis
+    fwd_i = -jnp.sin(th)                                 # Im DFT basis
+    thc = _dft_angle(f, c, v)                            # (F, C): w^{+fc}
+    tw1_r = jnp.cos(thc)
+    tw1_i = jnp.sin(thc)
+    thd = _dft_angle(f, d, v)                            # (F, D): w^{-fd}
+    tw2_r = jnp.cos(thd)
+    tw2_i = -jnp.sin(thd)
+    wgt = jnp.full((f, 1), 2.0 / v, dtype=jnp.float32)   # Hermitian fold
+    wgt = wgt.at[0, 0].set(1.0 / v)
     if v % 2 == 0:
-        wgt[-1, 0] = 1.0 / v                             # Nyquist (even V)
-    thv = 2.0 * np.pi * np.arange(f)[:, None] * np.arange(v)[None, :] / v
-    inv_r = (wgt * np.cos(thv)).astype(np.float32)       # (F, V)
-    inv_i = (-wgt * np.sin(thv)).astype(np.float32)
+        wgt = wgt.at[-1, 0].set(1.0 / v)                 # Nyquist (even V)
+    thv = _dft_angle(f, v, v)                            # (F, V)
+    inv_r = wgt * jnp.cos(thv)
+    inv_i = -wgt * jnp.sin(thv)
     return fwd_r, fwd_i, tw1_r, tw1_i, tw2_r, tw2_i, inv_r, inv_i
 
 
@@ -307,7 +320,7 @@ def shift_gcn_transform_dft(
     del compute_dtype  # as in circconv: precision rides the activation dtype
 
     fwd_r, fwd_i, tw1_r, tw1_i, tw2_r, tw2_i, inv_r, inv_i = (
-        jnp.asarray(a, dtype=u.dtype) for a in _dft_factors(v, c, d))
+        a.astype(u.dtype) for a in _dft_factors(v, c, d))
 
     lead = x.shape[:-2]
     u2 = u.reshape((-1, v, c))                            # (R, V, C)

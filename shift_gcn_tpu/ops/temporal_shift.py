@@ -442,6 +442,127 @@ def _tsl_bwd(residuals, g):
 temporal_shift_linear.defvjp(_tsl_fwd, _tsl_bwd)
 
 
+def _tap_support(taps: jax.Array, t: int) -> jax.Array:
+    """(T, C) fp32 response of the tap stencil to an all-ones input.
+
+    chi[q, t] = [0 <= t - MAX_SHIFT + q < T] marks taps that read
+    in-bounds (the conv zero-pads the rest); m[t, c] = sum_q
+    taps[q, c] * chi[q, t].  This is temporal_shift(ones) without
+    touching a batch-sized tensor.
+    """
+    q = taps.shape[0]
+    tq = (jnp.arange(t, dtype=jnp.int32)[None, :]
+          + jnp.arange(q, dtype=jnp.int32)[:, None] - MAX_SHIFT)
+    chi = ((tq >= 0) & (tq < t)).astype(taps.dtype)        # (Q, T)
+    return jnp.einsum("qc,qt->tc", taps, chi)
+
+
+@jax.custom_vjp
+def bn_shift_linear(
+    x: jax.Array, a: jax.Array, b: jax.Array, ypos: jax.Array,
+    w: jax.Array, bias: jax.Array,
+) -> jax.Array:
+    """Fused BN-affine + stride-1 temporal shift + pointwise linear.
+
+    Computes ``pointwise(temporal_shift(x*a + b, 0, ypos, 1), w, bias)``
+    — the reference Shift_tcn prefix bn → shift_in → temporal_linear
+    (model/shift_gcn.py:66-69) — WITHOUT materializing the normalized
+    tensor: per-channel affines commute with the per-channel temporal
+    shift, so
+
+        shift(x*a + b) = a * shift(x) + b * m,   m[t,c] = shift(ones)
+
+    (m differs from 1 only where taps cross the zero-padded boundary),
+    and the matmul absorbs both terms:
+
+        out = shift(x) @ (a*W) + (m * b) @ W + bias
+
+    shift runs on RAW x and the affine rides the (C, D) weights plus a
+    tiny (T, D) bias plane — the BN normalize pass (one full HBM
+    read+write, which XLA cannot fuse past the conv boundary) disappears.
+    `a`/`b` come from `ops.batchnorm.bn_affine_coeffs`; gradients to them
+    chain back to BN weight/bias/batch-stats outside this op.
+
+    Gradients: true VJPs for x / a / b / w / bias; ypos follows the
+    reference constraint kernel (shift_cuda_kernel.cu:370-395) with the
+    raw sign taken at the *shift output* cotangent exactly as the
+    unfused graph sees it: d/dy shift(bn(x)) = a*dval(x) + b*dval(ones),
+    i.e. including the affine's boundary term (dval(ones) is nonzero only
+    where the corner-difference stencil crosses the padding).
+    Requires the xpos-zero lowering; xpos is frozen (zero grad) upstream.
+    """
+    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
+    m = _tap_support(taps_t, x.shape[1])                   # (T, C) fp32
+    wa = a[:, None] * w                                    # (C, D) fp32
+    out = jnp.einsum("ntvc,cd->ntvd", h, wa.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    mb = (m * b[None, :]) @ w + bias[None, :]              # (T, D) fp32
+    return (out + mb[None, :, None, :]).astype(x.dtype)
+
+
+def _bsl_fwd(x, a, b, ypos, w, bias):
+    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
+    m = _tap_support(taps_t, x.shape[1])
+    wa = a[:, None] * w
+    out = jnp.einsum("ntvc,cd->ntvd", h, wa.astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    mb = (m * b[None, :]) @ w + bias[None, :]
+    out = (out + mb[None, :, None, :]).astype(x.dtype)
+    return out, (x, h, a, b, ypos, w)
+
+
+def _bsl_bwd(residuals, g):
+    x, h, a, b, ypos, w = residuals
+    n, t = x.shape[0], x.shape[1]
+
+    # cotangent at shift(bn(x)) — what the reference graph propagates into
+    # the shift backward (g @ W^T); fp32 for the sign-sensitive reductions
+    g_h_ref = jnp.einsum("ntvd,cd->ntvc", g, w.astype(g.dtype),
+                         preferred_element_type=jnp.float32)
+
+    # grad_x: true transposed-conv VJP of the raw shift, cotangent scaled
+    # by the folded BN scale
+    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    _, vjp_fn = jax.vjp(
+        lambda xx: _shift_conv(xx, taps_t.astype(xx.dtype), None, 1,
+                               -MAX_SHIFT), x)
+    grad_x, = vjp_fn((g_h_ref * a).astype(x.dtype))
+
+    # true grads for the affine coeffs and the linear params
+    grad_a = jnp.sum((h.astype(jnp.float32) * g_h_ref),
+                     axis=(0, 1, 2))                       # (C,)
+    r = jnp.sum(g_h_ref, axis=(0, 2))                      # (T, C)
+    m = _tap_support(taps_t, t)
+    grad_b = jnp.sum(m * r, axis=0)                        # (C,)
+    gs = jnp.sum(g.astype(jnp.float32), axis=(0, 2))       # (T, D)
+    grad_w = (a[:, None] * jnp.einsum(
+        "ntvc,ntvd->cd", h, g, preferred_element_type=jnp.float32)
+        + (m * b[None, :]).T @ gs)                         # (C, D)
+    grad_bias = jnp.sum(gs, axis=0)                        # (D,)
+
+    # constraint ypos grad — exact reference semantics on the folded
+    # graph: dval(bn(x)) = a*dval(x) + b*dval(ones)
+    dtaps_t = _floor_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    dval_x = _shift_conv(x, dtaps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
+    main = jnp.sum((dval_x * g_h_ref.astype(dval_x.dtype))
+                   .astype(jnp.float32), axis=(0, 1, 2)) / n
+    dm = _tap_support(dtaps_t, t)                          # (T, C)
+    gy_raw = a * main + b * (jnp.sum(dm * r, axis=0) / n)
+    dr = jnp.abs(gy_raw)
+    gy = jnp.where(dr != 0,
+                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
+                   1e-4)
+
+    return (grad_x, grad_a.astype(a.dtype), grad_b.astype(b.dtype),
+            gy.astype(ypos.dtype), grad_w.astype(w.dtype),
+            grad_bias.astype(w.dtype))
+
+
+bn_shift_linear.defvjp(_bsl_fwd, _bsl_bwd)
+
+
 def temporal_shift_inference(
     x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1
 ) -> jax.Array:

@@ -160,3 +160,30 @@ def test_trainer_fourstream_end_to_end(tmp_path):
     assert trainer2.start_epoch == 1
     step_no = int(np.asarray(trainer2.state.global_step).reshape(-1)[0])
     assert step_no > 0
+
+
+def test_scan_mode_matches_vmap_mode():
+    # "scan" (sequential lax.map, single-stream memory) and "vmap" are the
+    # same math over the same per-stream step; outputs must agree
+    cfg = _cfg()
+    graph = get_graph(cfg.graph)
+    rng = np.random.default_rng(5)
+    joint = jnp.asarray(rng.standard_normal((4, 3, 16, 25, 1)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 2, 4), jnp.int32)
+    lr = jnp.asarray(0.1, jnp.float32)
+    state4 = fs.create_fourstream_state(jax.random.key(2), cfg)
+    wd = build_weight_decay_tree(jax.tree_util.tree_map(
+        lambda x: x[0], state4.params))
+    batch = {"data": joint, "label": label}
+    s_scan, m_scan = jax.jit(
+        fs.make_fourstream_train_step(cfg, wd, graph, mode="scan"))(
+            state4, batch, lr)
+    s_vmap, m_vmap = jax.jit(
+        fs.make_fourstream_train_step(cfg, wd, graph, mode="vmap"))(
+            state4, batch, lr)
+    np.testing.assert_allclose(np.asarray(m_scan["loss"]),
+                               np.asarray(m_vmap["loss"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_vmap.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

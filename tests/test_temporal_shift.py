@@ -168,3 +168,106 @@ def test_stride2_halves_time():
     x = jnp.ones((1, 10, 3, 2))
     out = temporal_shift(x, jnp.zeros(2), jnp.zeros(2), 2)
     assert out.shape == (1, 5, 3, 2)
+
+
+class TestBnShiftLinearFold:
+    """bn_shift_linear == batch_norm -> temporal_shift -> pointwise_conv,
+    including gradients and the constraint's boundary term."""
+
+    def _setup(self, seed=0, n=3, t=24, v=5, c=6, d=7, training=True):
+        from shift_gcn_tpu.ops.batchnorm import (batch_norm,
+                                                 bn_affine_coeffs, init_bn)
+        from shift_gcn_tpu.ops.conv import pointwise_conv
+
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, t, v, c)), jnp.float32)
+        bn_p, bn_s = init_bn(c)
+        bn_p = {"weight": jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(c), jnp.float32)}
+        ypos = jnp.asarray(rng.uniform(-2, 2, c), jnp.float32)
+        xpos = jnp.zeros((c,), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((c, d)) * 0.4, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+        def unfused(x_, gamma, beta, yp, w_, b_):
+            h, st = batch_norm(
+                x_, {"weight": gamma, "bias": beta}, bn_s,
+                reduce_axes=(0, 1, 2), training=training)
+            h = ts.temporal_shift(h, xpos, yp, 1)
+            wt = w_.T[:, :, None, None]  # (D, C, 1, 1) torch layout
+            return pointwise_conv(h, wt, b_), st
+
+        def fused(x_, gamma, beta, yp, w_, b_):
+            a, b2, st = bn_affine_coeffs(
+                x_, {"weight": gamma, "bias": beta}, bn_s,
+                reduce_axes=(0, 1, 2), training=training)
+            return ts.bn_shift_linear(x_, a, b2, yp, w_, b_), st
+
+        return (x, bn_p["weight"], bn_p["bias"], ypos, w, bias,
+                unfused, fused)
+
+    @pytest.mark.parametrize("training", [True, False])
+    def test_forward_matches_unfused(self, training):
+        (x, gamma, beta, ypos, w, bias,
+         unfused, fused) = self._setup(training=training)
+        a_out, a_st = unfused(x, gamma, beta, ypos, w, bias)
+        b_out, b_st = fused(x, gamma, beta, ypos, w, bias)
+        np.testing.assert_allclose(np.asarray(b_out), np.asarray(a_out),
+                                   rtol=2e-5, atol=2e-5)
+        for k in ("running_mean", "running_var"):
+            np.testing.assert_allclose(np.asarray(b_st[k]),
+                                       np.asarray(a_st[k]), atol=1e-6)
+
+    def test_gradients_match_unfused(self):
+        (x, gamma, beta, ypos, w, bias,
+         unfused, fused) = self._setup(seed=3)
+
+        def make_loss(fn):
+            def f(x_, gamma_, beta_, w_, b_):
+                out, _ = fn(x_, gamma_, beta_, ypos, w_, b_)
+                return jnp.sum(jnp.sin(out))
+            return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+        ga = make_loss(unfused)(x, gamma, beta, w, bias)
+        gb = make_loss(fused)(x, gamma, beta, w, bias)
+        for u, f in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(u),
+                                       rtol=3e-4, atol=3e-5)
+
+    def test_constraint_grad_matches_unfused_sign_exactly(self):
+        # the ypos "grad" is a fixed-magnitude sign step; the folded op must
+        # reproduce the unfused sign pattern including the affine's
+        # boundary term b * dval(ones)
+        for seed in range(6):
+            (x, gamma, beta, ypos, w, bias,
+             unfused, fused) = self._setup(seed=seed, t=12)
+            # push ypos near the boundary so dval(ones) terms matter
+            ypos = ypos * 3.0
+
+            def make_gy(fn):
+                def f(yp):
+                    out, _ = fn(x, gamma, beta, yp, w, bias)
+                    return jnp.sum(jnp.sin(out))
+                return jax.grad(f)(ypos)
+
+            gy_ref = np.asarray(make_gy(unfused))
+            gy_fold = np.asarray(make_gy(fused))
+            np.testing.assert_allclose(gy_fold, gy_ref, atol=1e-9,
+                                       err_msg=f"seed {seed}")
+
+    def test_model_option_matches_default(self, monkeypatch):
+        from shift_gcn_tpu.models.shift_gcn import (ModelConfig, apply,
+                                                    init_params)
+
+        cfg = ModelConfig(num_class=2, num_point=25, num_person=1,
+                          graph="ntu_rgb_d")
+        params, state = init_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        xb = jnp.asarray(rng.standard_normal((2, 3, 64, 25, 1)), jnp.float32)
+        monkeypatch.setenv("SGT_TCN_BNFOLD", "0")
+        ref, _ = apply(params, state, xb, cfg, training=True)
+        monkeypatch.setenv("SGT_TCN_BNFOLD", "1")
+        got, _ = apply(params, state, xb, cfg, training=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
