@@ -1,0 +1,40 @@
+#!/bin/bash
+# TPU queue: verify pass + probe31 (dft temporal lowering + BN micro-probe).
+# Usage: nohup bash scratch/run_queue31.sh > scratch/queue31.log 2>&1 &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+health() {
+  timeout 180 python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+a = np.random.default_rng(0).standard_normal((128,128)).astype(np.float32)
+got = np.asarray(jnp.matmul(jnp.asarray(a), jnp.asarray(a),
+                            precision="highest"))
+assert np.allclose(got, a @ a, atol=1e-2), "numerics"
+print("healthy")
+EOF
+}
+
+wait_healthy() {
+  for i in $(seq 1 30); do
+    if health >/dev/null 2>&1; then return 0; fi
+    echo "  worker unhealthy; waiting 60s ($i/30)"; sleep 60
+  done
+  echo "  worker never recovered"; return 1
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  wait_healthy || exit 1
+  timeout "$tmo" stdbuf -oL -eL "$@" 2>&1 | tee -a scratch/queue31_steps.log
+  echo "--- $name exit: ${PIPESTATUS[0]} ---"
+  sleep 5
+}
+
+step "probe31" 5400 python scratch/tpu_probe31.py
+step "smoke data" 600 python scripts/make_smoke_data.py
+step "smoke train" 1800 python -m shift_gcn_tpu.cli.train --config configs/smoke.yaml
+step "bench smoke" 1800 python bench.py --smoke
+echo "queue31 complete ($(date +%H:%M:%S))"

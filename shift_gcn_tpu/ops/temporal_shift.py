@@ -223,6 +223,193 @@ def _shift_roll(
     return y0 * (1.0 - frac) + y1 * frac
 
 
+def _joint_pass(x: jax.Array, taps_v: Optional[jax.Array]) -> jax.Array:
+    """3-tap joint-axis (xpos) interpolation pass shared by the non-conv
+    lowerings; identity when xpos is treated as exactly zero."""
+    if taps_v is None:
+        return x
+    v_in = x.shape[2]
+    xv = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return sum(
+        jax.lax.slice_in_dim(xv, j, j + v_in, axis=2) * taps_v[j]
+        for j in range(taps_v.shape[0]))
+
+
+def _dft_t_len(t_in: int) -> int:
+    """Padded circle length: no wrap for any |pos| <= MAX_SHIFT."""
+    return t_in + 2 * (MAX_SHIFT + 1)
+
+
+def _dft_point_basis(npts: int, stride: int, off: int, l: int,
+                     sign: float) -> jax.Array:
+    """(npts, 2F) analysis basis [cos th | sign*sin th] with
+    th[p, f] = 2*pi*f*(p*stride + off)/l.
+
+    Angles reduce i*j mod l in integer space for fp32 trig accuracy (see
+    `_dft_angle` rationale in ops/spatial_shift.py); built from iotas, not
+    dense literals, to keep the MLIR text small for this platform's remote
+    compile helper.
+    """
+    f = l // 2 + 1
+    pi_ = jax.lax.broadcasted_iota(jnp.int32, (npts, f), 0) * stride + off
+    fi = jax.lax.broadcasted_iota(jnp.int32, (npts, f), 1)
+    th = (2.0 * jnp.pi / l) * ((pi_ * fi) % l).astype(jnp.float32)
+    return jnp.concatenate([jnp.cos(th), sign * jnp.sin(th)], axis=1)
+
+
+def _dft_hermitian_weights(l: int) -> jax.Array:
+    """(F, 1) irfft fold weights: 2/l except 1/l at DC (and Nyquist, even l)."""
+    f = l // 2 + 1
+    wgt = jnp.full((f, 1), 2.0 / l, dtype=jnp.float32)
+    wgt = wgt.at[0, 0].set(1.0 / l)
+    if l % 2 == 0:
+        wgt = wgt.at[-1, 0].set(1.0 / l)
+    return wgt
+
+
+def _dft_inv_basis(npts: int, stride: int, off: int, l: int, sign: float):
+    """Hermitian-weighted synthesis bases (F, npts): out = Zr@inv_r + Zi@inv_i
+    evaluates sum_f w_f * Re(Z[f] * exp(sign*i*th)) directly at the sample
+    points p*stride + off — so strided (downsampling) evaluation is free.
+    """
+    f = l // 2 + 1
+    fo = jax.lax.broadcasted_iota(jnp.int32, (f, npts), 0)
+    po = jax.lax.broadcasted_iota(jnp.int32, (f, npts), 1) * stride + off
+    th = (2.0 * jnp.pi / l) * ((fo * po) % l).astype(jnp.float32)
+    wgt = _dft_hermitian_weights(l)
+    return wgt * jnp.cos(th), sign * wgt * jnp.sin(th)
+
+
+def _dft_t_phase(pos: jax.Array, l: int, mode: str):
+    """(F, C) complex phase implementing the per-channel fractional shift.
+
+    A read at offset k multiplies the spectrum by E(k)[f] =
+    exp(+2*pi*i*f*k/l); the bilinear hat combines the two corners
+    (1-a)*E(k0) + a*E(k0+1) with k0 = floor(pos), a = pos - k0 — EXACTLY
+    the conv lowering's two nonzero taps, so the result is bit-for-math
+    identical to the hat-tap depthwise conv (not a sinc/Fourier
+    interpolant).  mode="diff" builds E(k0+1) - E(k0), the position-
+    gradient corner difference (reference shift_cuda_kernel.cu:343-344).
+    """
+    f = l // 2 + 1
+    k0 = jnp.floor(pos).astype(jnp.int32)                       # (C,)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (f, pos.shape[0]), 0)
+    k0m = k0 % l
+    th0 = (2.0 * jnp.pi / l) * ((fi * k0m[None, :]) % l).astype(jnp.float32)
+    th1 = (2.0 * jnp.pi / l) * (
+        (fi * ((k0m + 1) % l)[None, :]) % l).astype(jnp.float32)
+    if mode == "diff":
+        return jnp.cos(th1) - jnp.cos(th0), jnp.sin(th1) - jnp.sin(th0)
+    a = (pos - k0.astype(pos.dtype)).astype(jnp.float32)[None, :]
+    pr = (1.0 - a) * jnp.cos(th0) + a * jnp.cos(th1)
+    pi = (1.0 - a) * jnp.sin(th0) + a * jnp.sin(th1)
+    return pr, pi
+
+
+def _shift_dft(
+    x: jax.Array,
+    pos: jax.Array,
+    taps_v: Optional[jax.Array],
+    stride: int,
+    mode: str = "hat",
+) -> jax.Array:
+    """Temporal shift evaluated in the time-axis Fourier basis (MXU path).
+
+    The fractional shift is a per-channel linear-shift-invariant map, so on
+    a zero-padded length-l circle it is an elementwise phase multiply
+    between one shared rfft basis matmul and one shared inverse matmul —
+    the same shared-basis + per-channel-twiddle structure that makes the
+    spatial `dft` lowering win (ops/spatial_shift.py).  l = T + 2*(M+1)
+    guarantees no circular wrap for any |pos| <= M, making this exactly the
+    zero-padded hat-tap conv semantics.  vs the depthwise-conv lowering the
+    work moves from a bandwidth-bound 2(M+1)-tap VPU pass onto two dense
+    matmuls the MXU executes directly; the inverse basis is evaluated at
+    the strided output samples so stride-2 needs no extra step.
+    """
+    t_in = x.shape[1]
+    x = _joint_pass(x, taps_v)
+    l = _dft_t_len(t_in)
+    xh = _dft_spectrum(x, l)
+    return _dft_apply(xh, pos, stride, t_in, l, mode)
+
+
+def _dft_spectrum(x: jax.Array, l: int) -> jax.Array:
+    """(N, 2F, V, C) real rfft of the zero-padded time axis, as one matmul
+    against the (T_in, 2F) analysis basis (padding offset folded in)."""
+    basis = _dft_point_basis(
+        x.shape[1], 1, MAX_SHIFT, l, -1.0).astype(x.dtype)
+    return jnp.einsum("ntvc,tf->nfvc", x, basis,
+                      preferred_element_type=x.dtype)
+
+
+def _dft_apply(xh: jax.Array, pos: jax.Array, stride: int, t_in: int,
+               l: int, mode: str = "hat") -> jax.Array:
+    """Phase-twiddle the spectrum and synthesize at the strided outputs."""
+    f = l // 2 + 1
+    pr, pi = (a.astype(xh.dtype) for a in _dft_t_phase(pos, l, mode))
+    xr, xi = xh[:, :f], xh[:, f:]
+    zr = xr * pr[None, :, None, :] - xi * pi[None, :, None, :]
+    zi = xr * pi[None, :, None, :] + xi * pr[None, :, None, :]
+    inv_r, inv_i = (a.astype(xh.dtype) for a in _dft_inv_basis(
+        t_in // stride, stride, MAX_SHIFT, l, -1.0))
+    return (jnp.einsum("nfvc,fs->nsvc", zr, inv_r,
+                       preferred_element_type=xh.dtype)
+            + jnp.einsum("nfvc,fs->nsvc", zi, inv_i,
+                         preferred_element_type=xh.dtype))
+
+
+def _dft_shift_bwd(xh: jax.Array, ypos_eff: jax.Array, stride: int,
+                   g: jax.Array, t_in: int):
+    """Handwritten VJP of the dft lowering: (grad_input, gy_raw).
+
+    One analysis matmul of the cotangent G+[f] = sum_s g[s] e^{+i a_f p_s}
+    serves BOTH outputs:
+    - grad_input[t] = sum_f w_f Re(phi[f] G+[f] e^{-i a_f (t+M)}) — the
+      exact transpose of forward (phase multiply + synthesis at the input
+      sample points; the reference's reverse-shift kernels compute the same
+      transposed map, shift_cuda_kernel.cu:78-256),
+    - the raw constraint inner product collapses to an ELEMENTWISE reduce
+      against the saved forward spectrum (Parseval — no second pass over
+      the data): sum_s dval[s]*g[s] = sum_f w_f Re(psi[f] X[f] G+[f]),
+      psi the corner-difference phase (cu:343-349, 501-509).
+    The generic path pays ~6 basis matmuls (vjp transpose + a full second
+    dft for dval); this pays 2 plus elementwise work — measured the
+    difference between the dft lowering losing and winning at train time.
+    """
+    n = g.shape[0]
+    l = _dft_t_len(t_in)
+    f = l // 2 + 1
+    gb = _dft_point_basis(
+        g.shape[1], stride, MAX_SHIFT, l, 1.0).astype(g.dtype)
+    gh = jnp.einsum("nsvc,sf->nfvc", g, gb,
+                    preferred_element_type=g.dtype)             # G+ planes
+    gr, gi = gh[:, :f], gh[:, f:]
+    pr, pi = (a.astype(g.dtype) for a in _dft_t_phase(ypos_eff, l, "hat"))
+    zr = gr * pr[None, :, None, :] - gi * pi[None, :, None, :]
+    zi = gr * pi[None, :, None, :] + gi * pr[None, :, None, :]
+    inv_r, inv_i = (a.astype(g.dtype)
+                    for a in _dft_inv_basis(t_in, 1, MAX_SHIFT, l, 1.0))
+    grad_input = (jnp.einsum("nfvc,ft->ntvc", zr, inv_r,
+                             preferred_element_type=g.dtype)
+                  + jnp.einsum("nfvc,ft->ntvc", zi, inv_i,
+                               preferred_element_type=g.dtype))
+
+    # gy_raw in fp32 (only its SIGN survives the constraint)
+    dr, di = _dft_t_phase(ypos_eff, l, "diff")                  # fp32 (F, C)
+    xr32 = xh[:, :f].astype(jnp.float32)
+    xi32 = xh[:, f:].astype(jnp.float32)
+    gr32 = gr.astype(jnp.float32)
+    gi32 = gi.astype(jnp.float32)
+    re_xg = xr32 * gr32 - xi32 * gi32
+    im_xg = xr32 * gi32 + xi32 * gr32
+    wv = _dft_hermitian_weights(l)[:, 0]                        # (F,)
+    contrib = (dr[None, :, None, :] * re_xg
+               - di[None, :, None, :] * im_xg)
+    gy_raw = jnp.sum(wv[None, :, None, None] * contrib,
+                     axis=(0, 1, 2)) / n
+    return grad_input, gy_raw
+
+
 def _shift_matmul(
     x: jax.Array,
     pos: jax.Array,
@@ -290,6 +477,8 @@ def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
         return _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT)
     if impl == "matmul":
         return _shift_matmul(x, ypos_eff, taps_v, stride)
+    if impl == "dft":
+        return _shift_dft(x, ypos_eff, taps_v, stride)
     taps_t = _hat_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
     return _shift_conv(x, taps_t, taps_v, stride, -MAX_SHIFT)
 
@@ -316,12 +505,30 @@ def temporal_shift(
 
 def _temporal_shift_fwd(x, xpos, ypos, stride):
     ypos_eff = ypos if stride == 1 else ypos + 0.5
+    if (_os.environ.get("SGT_TSHIFT_IMPL", "conv") == "dft"
+            and ASSUME_XPOS_ZERO):
+        # dft fast path: compute the spectrum ONCE, save it for the
+        # handwritten backward (x itself is an op input, so keeping it in
+        # the residuals costs nothing extra)
+        l = _dft_t_len(x.shape[1])
+        xh = _dft_spectrum(x, l)
+        out = _dft_apply(xh, ypos_eff, stride, x.shape[1], l)
+        return out, (x, xh, xpos, ypos_eff)
     out = _forward(x, xpos, ypos_eff, stride)
-    return out, (x, xpos, ypos_eff)
+    return out, (x, None, xpos, ypos_eff)
 
 
 def _temporal_shift_bwd(stride, residuals, g):
-    x, xpos, ypos_eff = residuals
+    x, xh, xpos, ypos_eff = residuals
+
+    if xh is not None:  # dft fast path (see _dft_shift_bwd)
+        grad_input, gy_raw = _dft_shift_bwd(
+            xh, ypos_eff, stride, g, x.shape[1])
+        dr = jnp.abs(gy_raw)
+        gy = jnp.where(dr != 0,
+                       gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
+                       1e-4)
+        return grad_input, jnp.zeros_like(xpos), gy.astype(ypos_eff.dtype)
 
     # grad_input: true VJP of the depthwise conv w.r.t. x (the reference's
     # reverse-shift kernels compute exactly this transposed conv).
@@ -337,6 +544,8 @@ def _temporal_shift_bwd(stride, residuals, g):
                              mode="diff")
     elif _impl == "matmul":
         dval_y = _shift_matmul(x, ypos_eff, taps_v, stride, mode="diff")
+    elif _impl == "dft":
+        dval_y = _shift_dft(x, ypos_eff, taps_v, stride, mode="diff")
     else:
         dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
         dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)

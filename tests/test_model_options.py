@@ -134,7 +134,7 @@ def test_shift_impls_agree_through_model():
     params, state = init_params(jax.random.key(1), cfg)
     x = _batch(seed=2)["data"]
     outs = {}
-    for impl in ("slice", "conv", "matmul"):
+    for impl in ("slice", "conv", "matmul", "dft"):
         os.environ["SGT_TSHIFT_IMPL"] = impl
         # separate jit cache entries via a trivial closure difference
         f = jax.jit(lambda p, s, xx, _impl=impl: apply(
@@ -143,6 +143,7 @@ def test_shift_impls_agree_through_model():
     os.environ.pop("SGT_TSHIFT_IMPL", None)
     np.testing.assert_allclose(outs["slice"], outs["conv"], atol=1e-4)
     np.testing.assert_allclose(outs["matmul"], outs["conv"], atol=1e-4)
+    np.testing.assert_allclose(outs["dft"], outs["conv"], atol=2e-4)
 
 
 def test_pallas_spatial_with_bf16_activations_trains():
@@ -188,6 +189,7 @@ def test_tcn_fuse_with_bf16_activations_trains(monkeypatch):
     ("SGT_SGCN_IMPL", "chain"),      # explicit spatial chain vs default
     ("SGT_TCN_FUSE", "1"),           # fused temporal shift+linear
     ("SGT_TSHIFT_IMPL", "matmul"),   # hat-matrix MXU temporal shift
+    ("SGT_TSHIFT_IMPL", "dft"),      # frequency-domain temporal shift
 ])
 def test_fused_lowerings_match_default_train_step(monkeypatch,
                                                   env_key, env_val):

@@ -18,6 +18,7 @@ _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
     ("conv", False), ("conv", True),
     ("slice", True), ("roll", False), ("roll", True),
     ("matmul", False), ("matmul", True),
+    ("dft", False), ("dft", True),
 ])
 def _shift_impl(request, monkeypatch):
     """Run every oracle test under each lowering x xpos-handling mode.
@@ -101,6 +102,8 @@ def test_forward_matches_numpy(stride):
 
 
 def test_forward_integer_shift_is_exact_slice():
+    import os
+
     # ypos = 1.0 exactly shifts by one frame with zero padding at the end.
     n, t, v, c = 1, 6, 3, 2
     x = np.arange(n * t * v * c, dtype=np.float32).reshape(n, t, v, c)
@@ -110,7 +113,11 @@ def test_forward_integer_shift_is_exact_slice():
         jnp.asarray(x), jnp.asarray(xpos), jnp.asarray(ypos), 1))
     want = np.zeros_like(x)
     want[:, :-1] = x[:, 1:]
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # the frequency-domain lowering is exact math but accumulates the
+    # length-L basis matmuls in fp32 (relative ~1e-6 of the spectrum's
+    # magnitude, ~sum|x|); the direct lowerings hit the taps bit-exactly
+    atol = 5e-4 if os.environ.get("SGT_TSHIFT_IMPL") == "dft" else 1e-6
+    np.testing.assert_allclose(got, want, atol=atol)
 
 
 @pytest.mark.parametrize("stride", [1, 2])
