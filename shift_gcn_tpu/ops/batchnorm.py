@@ -28,8 +28,20 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 BNParams = Dict[str, jax.Array]   # weight, bias (feature-shaped)
 BNState = Dict[str, jax.Array]    # running_mean, running_var, num_batches_tracked
+
+# SGT_BN_LP=1: keep the elementwise normalize pass in the activation dtype.
+# Stats (mean/var/running updates) are always fp32; this only changes the
+# big x*a+b pass from "upcast x to fp32, normalize, downcast" to a bf16
+# fused-multiply-add with downcast per-feature coefficients.  In-family
+# with activation_dtype=bfloat16 numerics (a, b are O(1), bf16 rel err
+# ~4e-3, same as every matmul operand on that path); no-op for fp32 x.
+# Read at trace time so tests/configs can toggle per-jit.
+def _lp_normalize() -> bool:
+    return _os.environ.get("SGT_BN_LP", "0") == "1"
 
 
 def init_bn(num_features: int, scale: float = 1.0) -> Tuple[BNParams, BNState]:
@@ -82,6 +94,13 @@ def batch_norm(
         var = fs(var)
 
     inv = jax.lax.rsqrt(var + eps)
+    if x.dtype != jnp.float32 and _lp_normalize():
+        # bn(x) == x*a + b with fp32-derived coefficients, evaluated in the
+        # activation dtype (skips the fp32 round-trip over the big tensor)
+        a = inv * fs(params["weight"])
+        b = fs(params["bias"]) - mean * a
+        out = x * a.astype(x.dtype) + b.astype(x.dtype)
+        return out, new_state
     out = (x32 - mean) * inv * fs(params["weight"]) + fs(params["bias"])
     return out.astype(x.dtype), new_state
 

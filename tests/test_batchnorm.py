@@ -61,6 +61,57 @@ def test_bn1d_eval_uses_running_stats():
     assert out_state is state
 
 
+def test_bn_lp_normalize_matches_fp32_path(monkeypatch):
+    """SGT_BN_LP=1 on bf16 input: same math within bf16 rounding, identical
+    (fp32) running-stat updates, and a no-op for fp32 input."""
+    rng = np.random.default_rng(3)
+    n, t, v, c = 4, 6, 5, 8
+    x = rng.standard_normal((n, t, v, c)).astype(np.float32)
+    params, state = init_bn(c)
+    params = {
+        "weight": jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32)),
+        "bias": jnp.asarray(rng.uniform(-0.5, 0.5, c).astype(np.float32)),
+    }
+    for training in (True, False):
+        want, want_state = batch_norm(
+            jnp.asarray(x, jnp.bfloat16), params, state,
+            reduce_axes=(0, 1, 2), training=training)
+        monkeypatch.setenv("SGT_BN_LP", "1")
+        got, got_state = batch_norm(
+            jnp.asarray(x, jnp.bfloat16), params, state,
+            reduce_axes=(0, 1, 2), training=training)
+        got32, _ = batch_norm(
+            jnp.asarray(x), params, state,
+            reduce_axes=(0, 1, 2), training=training)
+        monkeypatch.delenv("SGT_BN_LP")
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(got32), atol=0.05)
+        if training:
+            np.testing.assert_allclose(
+                np.asarray(got_state["running_mean"]),
+                np.asarray(want_state["running_mean"]), atol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(got_state["running_var"]),
+                np.asarray(want_state["running_var"]), atol=1e-7)
+
+
+def test_bn_lp_normalize_fp32_passthrough(monkeypatch):
+    monkeypatch.setenv("SGT_BN_LP", "1")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((16, 10)).astype(np.float32)
+    params, state = init_bn(10)
+    got, _ = batch_norm(
+        jnp.asarray(x), params, state, reduce_axes=(0,), training=True)
+    monkeypatch.delenv("SGT_BN_LP")
+    want, _ = batch_norm(
+        jnp.asarray(x), params, state, reduce_axes=(0,), training=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_bn_multi_step_running_stats_match_torch():
     rng = np.random.default_rng(2)
     f = 7
