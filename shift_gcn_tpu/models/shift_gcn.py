@@ -322,7 +322,7 @@ def _apply_shift_tcn(
 
     if (_os.environ.get("SGT_TCN_BNFOLD", "0") == "1"
             and _ts_mod.ASSUME_XPOS_ZERO
-            and _os.environ.get("SGT_TSHIFT_IMPL", "conv") == "conv"
+            and _ts_mod.get_impl() == "conv"
             and _os.environ.get("SGT_TCN_FUSE", "0") != "1"):
         # fold the BN affine through the per-channel shift into the 1x1
         # weights (ops/temporal_shift.bn_shift_linear): no normalize pass

@@ -59,6 +59,20 @@ import os as _os
 
 MAX_SHIFT = int(_os.environ.get("SGT_MAX_SHIFT", "8"))
 
+# Default lowering for the temporal shift.  Measured on TPU v5e (batch 64,
+# T=300, mediapipe model, dft spatial + bf16 activations, probe33 —
+# scratch/queue33.log): dft (frequency-domain, handwritten Parseval VJP)
+# trains at 415.7 clips/s vs conv 407.3; eval at least neutral.  Override
+# per-process with SGT_TSHIFT_IMPL in {conv, slice, roll, matmul, dft,
+# pallas}.  ("roll" crashes this platform's remote compile helper — see
+# CLAUDE.md; it remains available for standard backends.)
+_DEFAULT_IMPL = "dft"
+
+
+def get_impl() -> str:
+    """Active temporal-shift lowering (env override or the default)."""
+    return _os.environ.get("SGT_TSHIFT_IMPL", _DEFAULT_IMPL)
+
 # When set (default on), lower the joint-axis (xpos) interpolation as the
 # identity, making the shift a pure temporal-tap conv (1/3 the tap work).
 # Justified by the reference's own semantics: xpos init is U(-1e-8, 1e-8)
@@ -454,17 +468,15 @@ def _shift_matmul(
 
 
 def _shift_conv(x, taps_t, taps_v, stride, t_lo):
-    # Lowering choice (measured on TPU v5e, batch 64, T=300):
-    #   conv : train 193 clips/s, eval 683 clips/s  <- default
+    # Direct-lowering choice (measured on TPU v5e, batch 64, T=300):
+    #   conv : train 193 clips/s, eval 683 clips/s
     #   slice: eval 277 clips/s, backward OOMs at batch 64
+    # (both are superseded by the frequency-domain default, probe33)
     # (the "roll" impl is dispatched in _forward/_backward, not here)
     # Known platform issue: at very small T (T//4 < tap window) the eval
     # graph faults the remote TPU worker under BOTH lowerings; use T >= 128
     # on this platform (standard clips are T=300).
-    import os
-
-    impl = os.environ.get("SGT_TSHIFT_IMPL", "conv")
-    if impl == "slice":
+    if get_impl() == "slice":
         return _shift_conv_slices(x, taps_t, taps_v, stride, t_lo)
     return _shift_conv_dw(x, taps_t, taps_v, stride, t_lo)
 
@@ -472,7 +484,7 @@ def _shift_conv(x, taps_t, taps_v, stride, t_lo):
 def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
              stride: int) -> jax.Array:
     taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    impl = _os.environ.get("SGT_TSHIFT_IMPL", "conv")
+    impl = get_impl()
     if impl == "roll":
         return _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT)
     if impl == "matmul":
@@ -505,8 +517,7 @@ def temporal_shift(
 
 def _temporal_shift_fwd(x, xpos, ypos, stride):
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    if (_os.environ.get("SGT_TSHIFT_IMPL", "conv") == "dft"
-            and ASSUME_XPOS_ZERO):
+    if get_impl() == "dft" and ASSUME_XPOS_ZERO:
         # dft fast path: compute the spectrum ONCE, save it for the
         # handwritten backward (x itself is an op input, so keeping it in
         # the residuals costs nothing extra)
@@ -538,7 +549,7 @@ def _temporal_shift_bwd(stride, residuals, g):
     # raw position grad along y: corner-difference conv then
     # mean-over-batch, sum-over-(T, V) (cu:343-349, 501-509).
     taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    _impl = _os.environ.get("SGT_TSHIFT_IMPL", "conv")
+    _impl = get_impl()
     if _impl == "roll":
         dval_y = _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT,
                              mode="diff")
