@@ -142,7 +142,69 @@ def main() -> None:
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / 47.0, 2),
+        "roofline": _roofline(config, t, batch_size,
+                              dt / steps, train=True),
     }))
+
+
+def _roofline(config, t: int, batch_size: int, step_seconds: float,
+              *, train: bool = True):
+    """Quantify the speed-of-light claim: algorithmic FLOPs + a lower-bound
+    HBM byte count per step vs TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s).
+
+    FLOPs count the *useful* matmul work only (spatial pointwise, temporal
+    1x1, residual/down convs, classifier; 2 MAC = 2 FLOP), not the
+    lowering overhead (DFT basis matmuls, circulant dead lanes) — so MFU
+    here is an honest algorithmic-efficiency number, and bandwidth_util
+    tells the bound that actually binds (the model is activation-traffic
+    dominated).  Backward ~= 2x forward FLOPs; SGD/BN elementwise ignored.
+    """
+    v = config.num_point
+    m = config.num_person
+    act_bytes = 2 if config.activation_dtype else 4
+    flops = 0.0
+    acts = 0.0  # activation elements materialized across the forward
+    t_cur = t
+    for spec in config.blocks:
+        cin, cout = spec.in_channels, spec.out_channels
+        flops += 2.0 * t_cur * v * cin * cout          # spatial matmul
+        if cin != cout:
+            flops += 2.0 * t_cur * v * cin * cout      # gcn down conv
+        flops += 2.0 * t_cur * v * cout * cout         # temporal 1x1
+        if spec.residual and (cin != cout or spec.stride != 1):
+            flops += 2.0 * (t_cur // spec.stride) * v * cin * cout
+        flops += 2.0 * 2 * t_cur * v * cout            # 2 shifts, O(T V C)
+        acts += 6.0 * t_cur * v * cout                 # per-op outputs
+        t_cur //= spec.stride
+    flops += 2.0 * config.blocks[-1].out_channels * config.num_class
+    flops *= m
+    acts *= m
+    if train:
+        flops *= 3.0  # fwd + ~2x bwd
+    # param traffic: read in fwd + read in bwd + grad write + 2x optimizer
+    # (momentum read/write), all fp32
+    from shift_gcn_tpu.models.shift_gcn import init_params, param_count
+
+    p, _ = init_params(__import__("jax").random.key(0), config)
+    params = param_count(p)
+    # HBM lower bound: each forward activation written once + read once by
+    # the next op; backward re-reads (or remats) and writes cotangents —
+    # ~4 passes total in training, 2 in eval
+    passes = 4.0 if train else 2.0
+    bytes_per_clip = acts * act_bytes * passes
+    bytes_per_step = bytes_per_clip * batch_size + params * 4 * (
+        5 if train else 1)
+    flops_per_step = flops * batch_size
+    peak_flops = 197e12 if (config.activation_dtype
+                            or config.compute_dtype) else 197e12 / 4
+    peak_bw = 819e9
+    return {
+        "model_gflops_per_clip": round(flops / 1e9, 3),
+        "mfu": round(flops_per_step / step_seconds / peak_flops, 4),
+        "hbm_gb_per_step_lower_bound": round(bytes_per_step / 1e9, 3),
+        "bandwidth_util": round(
+            bytes_per_step / step_seconds / peak_bw, 3),
+    }
 
 
 def _timeit(fn, *args, steps=20):

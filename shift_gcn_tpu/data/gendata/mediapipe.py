@@ -35,8 +35,26 @@ NUM_JOINT = 33
 MAX_BODY = 1
 MEDIAPIPE_AXES = dict(zaxis=(23, 11), xaxis=(12, 11), center_joint=(23, 24))
 
-# PoseBackend: video path, max_frame -> (3, T, 33, 1) float32 or None
+# PoseBackend: video path, max_frame -> world landmarks (3, T, 33, 1)
+# float32, or a (world, pixel) tuple with pixel (T, 33, 2) image-space
+# coordinates (reference extract_landmarks returns both,
+# inference_pipeline.py:58-134), or None when no pose is found.  Consumers
+# that only need world coordinates unwrap tuples via `world_landmarks`.
 PoseBackend = Callable[[str, int], Optional[np.ndarray]]
+
+
+def world_landmarks(result):
+    """Unwrap a PoseBackend result to world landmarks only."""
+    if isinstance(result, tuple):
+        return result[0]
+    return result
+
+
+def pixel_landmarks(result) -> Optional[np.ndarray]:
+    """Unwrap a PoseBackend result to (T, V, 2) pixel landmarks, if any."""
+    if isinstance(result, tuple) and len(result) > 1:
+        return result[1]
+    return None
 
 _BACKENDS: Dict[str, PoseBackend] = {}
 
@@ -65,11 +83,14 @@ def _make_mediapipe_backend() -> PoseBackend:
             "custom pose backend via register_backend() or run extraction on "
             "a host with mediapipe installed") from e
 
-    def extract(video_path: str, max_frame: int = 300) -> Optional[np.ndarray]:
+    def extract(video_path: str, max_frame: int = 300):
         cap = cv2.VideoCapture(video_path)
         if not cap.isOpened():
             return None
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         frames: List[np.ndarray] = []
+        pixels: List[np.ndarray] = []
         with mp.solutions.pose.Pose(
                 static_image_mode=False, model_complexity=1,
                 min_detection_confidence=0.5,
@@ -87,12 +108,23 @@ def _make_mediapipe_backend() -> PoseBackend:
                         dtype=np.float32)
                 else:
                     joints = np.zeros((NUM_JOINT, 3), dtype=np.float32)
+                # image-space landmarks for annotated-video overlay
+                # (reference inference_pipeline.py:103-110); zeros when no
+                # pose — the renderer skips (0, 0) points
+                if result.pose_landmarks:
+                    px = np.array(
+                        [[lm.x * width, lm.y * height]
+                         for lm in result.pose_landmarks.landmark],
+                        dtype=np.float32)
+                else:
+                    px = np.zeros((NUM_JOINT, 2), dtype=np.float32)
                 frames.append(joints)
+                pixels.append(px)
         cap.release()
         if not frames:
             return None
         data = np.stack(frames).transpose(2, 0, 1)  # (3, T, 33)
-        return data[:, :, :, None]
+        return data[:, :, :, None], np.stack(pixels)
 
     return extract
 
@@ -115,13 +147,18 @@ def subsample_negatives(
 def extract_and_save(
     videos: Sequence[Tuple[str, int]],
     out_path: str,
-    part: str,
+    part: Optional[str],
     *,
     backend: PoseBackend,
     max_frame: int = 300,
     chunk_size: int = 5000,
 ) -> Optional[Tuple[str, str]]:
-    """Extract landmarks, pre-normalize per chunk, save split tensors."""
+    """Extract landmarks, pre-normalize per chunk, save split tensors.
+
+    ``part`` prefixes the output files ("train"/"val"); None writes the
+    reference generic-mode names data_joint.npy / label.pkl
+    (mediapipe_gendata.py:160-163).
+    """
     os.makedirs(out_path, exist_ok=True)
     names: List[str] = []
     labels: List[int] = []
@@ -138,13 +175,13 @@ def extract_and_save(
             fp[i, :, :t] = d[:, :t]
         fp = pre_normalization(fp, **MEDIAPIPE_AXES)
         path = os.path.join(out_path,
-                            f"_tmp_{part}_chunk{len(chunk_files)}.npy")
+                            f"_tmp_{part or 'all'}_chunk{len(chunk_files)}.npy")
         np.save(path, fp)
         chunk_files.append(path)
         chunk.clear()
 
     for vpath, label in videos:
-        data = backend(vpath, max_frame)
+        data = world_landmarks(backend(vpath, max_frame))
         if data is None:
             continue
         names.append(os.path.basename(vpath))
@@ -166,8 +203,9 @@ def extract_and_save(
         offset += n
         os.remove(f)
 
-    data_file = os.path.join(out_path, f"{part}_data_joint.npy")
-    label_file = os.path.join(out_path, f"{part}_label.pkl")
+    prefix = f"{part}_" if part else ""
+    data_file = os.path.join(out_path, f"{prefix}data_joint.npy")
+    label_file = os.path.join(out_path, f"{prefix}label.pkl")
     np.save(data_file, fp)
     with open(label_file, "wb") as f:
         pickle.dump((names, labels), f)
@@ -226,6 +264,70 @@ def gendata_ntu_fall(
                      backend=backend, max_frame=max_frame)
 
 
+def resolve_label(
+    path: str, label_map: Dict[str, int]
+) -> Optional[int]:
+    """Label from the parent directory name, else the filename prefix up to
+    the first underscore (reference mediapipe_gendata.py:124-136)."""
+    parent = os.path.basename(os.path.dirname(path))
+    if parent in label_map:
+        return label_map[parent]
+    stem = os.path.splitext(os.path.basename(path))[0]
+    prefix = stem.split("_")[0] if stem else stem
+    return label_map.get(prefix)
+
+
+def gendata_label_map(
+    video_dir: str,
+    out_path: str,
+    label_map: Dict[str, int],
+    *,
+    split_file: Optional[str] = None,
+    part: Optional[str] = None,
+    max_frame: int = 300,
+    backend: Optional[PoseBackend] = None,
+) -> Optional[Tuple[str, str]]:
+    """Generic dataset mode: any video directory + class-name -> label map
+    (reference mediapipe_gendata.py:93-165).
+
+    Videos are taken from ``split_file`` (basenames, one per line —
+    subdirectory-relative paths allowed) or discovered recursively so
+    class-per-directory layouts work.  Unlabelable videos are skipped with
+    a warning.  Output: {part_}data_joint.npy / {part_}label.pkl.
+    """
+    backend = backend or get_backend()
+    if split_file and os.path.exists(split_file):
+        with open(split_file) as f:
+            names = [line.strip() for line in f if line.strip()]
+        files = [os.path.join(video_dir, n) for n in names]
+    else:
+        files = sorted(
+            f for f in glob.glob(os.path.join(video_dir, "**", "*"),
+                                 recursive=True)
+            if os.path.isfile(f))
+    videos: List[Tuple[str, int]] = []
+    for path in files:
+        if not os.path.isfile(path):
+            continue
+        label = resolve_label(path, label_map)
+        if label is None:
+            print(f"Warning: cannot determine label for {path}, skipping")
+            continue
+        videos.append((path, label))
+    return extract_and_save(videos, out_path, part,
+                            backend=backend, max_frame=max_frame)
+
+
+def parse_label_map(spec: str) -> Dict[str, int]:
+    """Parse "name:0,other:1" (reference CLI contract,
+    mediapipe_gendata.py:405-410)."""
+    out: Dict[str, int] = {}
+    for pair in spec.split(","):
+        k, v = pair.split(":")
+        out[k.strip()] = int(v.strip())
+    return out
+
+
 def main(argv=None):
     import argparse
 
@@ -240,6 +342,11 @@ def main(argv=None):
     parser.add_argument("--max-frame", type=int, default=300)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--video-list", default=None)
+    # generic label-map mode (reference mediapipe_gendata.py:380-437)
+    parser.add_argument("--label-map", default=None,
+                        help='comma-separated "class:label" pairs')
+    parser.add_argument("--train-split", default=None)
+    parser.add_argument("--val-split", default=None)
     args = parser.parse_args(argv)
     if args.ntu_mode:
         gendata_ntu_fall(
@@ -247,9 +354,25 @@ def main(argv=None):
             falling_action=args.falling_action, benchmark=args.benchmark,
             subsample_ratio=args.subsample_ratio, max_frame=args.max_frame,
             seed=args.seed, video_list=args.video_list)
+        return
+    if not args.label_map:
+        parser.error("--label-map is required when not using --ntu-mode")
+    label_map = parse_label_map(args.label_map)
+    if args.train_split or args.val_split:
+        if args.train_split:
+            gendata_label_map(
+                args.video_dir, args.out_dir, label_map,
+                split_file=args.train_split, part="train",
+                max_frame=args.max_frame)
+        if args.val_split:
+            gendata_label_map(
+                args.video_dir, args.out_dir, label_map,
+                split_file=args.val_split, part="val",
+                max_frame=args.max_frame)
     else:
-        raise SystemExit("generic label-map mode: use gendata_ntu_fall or "
-                         "extract_and_save with your own video list")
+        gendata_label_map(
+            args.video_dir, args.out_dir, label_map,
+            max_frame=args.max_frame)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,27 @@ def ensemble_scores(
     return out
 
 
+def ensemble_scores_by_index(
+    score_dicts: Sequence[Dict[object, np.ndarray]],
+    alpha: Sequence[float] = DEFAULT_ALPHA,
+) -> np.ndarray:
+    """Index-keyed fusion (reference ensemble.py:18-27): streams are fused
+    by sample *position* in each pickle's insertion order, for NTU score
+    files whose keys need no name alignment.  (N, num_class)."""
+    if len(score_dicts) != len(alpha):
+        raise ValueError(
+            f"{len(score_dicts)} streams but {len(alpha)} weights")
+    n = len(score_dicts[0])
+    for d in score_dicts[1:]:
+        if len(d) != n:
+            raise ValueError("streams disagree on sample count")
+    out = None
+    for scores, a in zip(score_dicts, alpha):
+        arr = np.stack([np.asarray(v) for v in scores.values()])
+        out = arr * a if out is None else out + arr * a
+    return out
+
+
 def top_k_accuracy(scores: np.ndarray, labels: Sequence[int],
                    k: int) -> float:
     rank = scores.argsort(axis=1)
@@ -94,7 +115,12 @@ def run_ensemble(
     the CLI wrapper handles presentation)."""
     names, labels = load_labels(label_path)
     score_dicts = [load_scores(p) for p in score_paths]
-    scores = ensemble_scores(score_dicts, names, alpha)
+    try:
+        scores = ensemble_scores(score_dicts, names, alpha)
+    except KeyError:
+        # NTU pkls keyed by something other than sample name: fall back to
+        # the reference's index-keyed fusion (ensemble.py:18-27)
+        scores = ensemble_scores_by_index(score_dicts, alpha)
     preds = scores.argmax(axis=1)
     num_class = scores.shape[1]
     result: Dict[str, object] = {

@@ -1,8 +1,10 @@
 """Minimal Tkinter front-end for the fall-detection pipeline.
 
 Parity feature with the reference's GUI (inference_pipeline.py:677-823):
-pick a video, pick the checkpoint directory, run the pipeline, display the
-report summary.  Import-gated; training hosts never need Tk.
+pick a video, pick the save-models root, run the 4-stream ensemble with
+per-modality checkpoint auto-detection (reference :28-38, :677-823),
+optionally write the annotated video, display the report summary.
+Import-gated; training hosts never need Tk.
 """
 
 from __future__ import annotations
@@ -10,7 +12,29 @@ from __future__ import annotations
 import json
 import os
 import threading
-from typing import Dict
+from typing import Dict, Optional
+
+
+def resolve_checkpoints(path: str):
+    """A user-picked directory -> pipeline checkpoint arguments.
+
+    Returns (checkpoints_dict, fourstream_path): auto-detect per-modality
+    run dirs / reference .pt files under the root; if the directory is
+    itself a single run dir (or a fourstream run), use it directly.
+    """
+    from shift_gcn_tpu.inference.pipeline import auto_detect_checkpoints
+    from shift_gcn_tpu.utils.checkpoint import latest_checkpoint
+
+    found = auto_detect_checkpoints(path)
+    if found:
+        return found, None
+    latest = latest_checkpoint(path)
+    if latest:
+        if "fourstream" in os.path.basename(
+                os.path.normpath(path)).lower():
+            return None, latest
+        return {"joint": latest}, None
+    return None, None
 
 
 def launch(default_checkpoints: Dict[str, str] | None = None) -> None:
@@ -27,6 +51,7 @@ def launch(default_checkpoints: Dict[str, str] | None = None) -> None:
     ckpt_var = tk.StringVar(
         value=(default_checkpoints or {}).get("joint", ""))
     threshold_var = tk.DoubleVar(value=0.5)
+    annotate_var = tk.BooleanVar(value=False)
 
     def pick_video():
         path = filedialog.askopenfilename(
@@ -50,12 +75,21 @@ def launch(default_checkpoints: Dict[str, str] | None = None) -> None:
 
         def work():
             try:
+                ckpts, fourstream = resolve_checkpoints(ckpt)
+                if ckpts is None and fourstream is None:
+                    raise FileNotFoundError(
+                        f"no checkpoints found under {ckpt}")
+                out_video = (os.path.splitext(video)[0] + "_annotated.mp4"
+                             if annotate_var.get() else None)
                 report = run_pipeline(
-                    video, {"joint": ckpt},
+                    video, ckpts, fourstream_checkpoint=fourstream,
                     threshold=float(threshold_var.get()),
-                    output_json=os.path.splitext(video)[0] + "_report.json")
+                    output_json=os.path.splitext(video)[0] + "_report.json",
+                    output_video=out_video)
                 summary = {k: v for k, v in report.items()
                            if k != "frame_probabilities"}
+                summary["streams"] = sorted(ckpts) if ckpts else [
+                    "fourstream"]
                 output.delete("1.0", tk.END)
                 output.insert(tk.END, json.dumps(summary, indent=2))
             except Exception as e:  # surface errors in the UI
@@ -85,6 +119,8 @@ def launch(default_checkpoints: Dict[str, str] | None = None) -> None:
     tk.Scale(row3, variable=threshold_var, from_=0.1, to=0.9,
              resolution=0.05, orient="horizontal").pack(
         side="left", expand=True, fill="x")
+    tk.Checkbutton(row3, text="annotated video",
+                   variable=annotate_var).pack(side="right")
     tk.Button(row3, text="run", command=run).pack(side="right")
 
     output = scrolledtext.ScrolledText(root)

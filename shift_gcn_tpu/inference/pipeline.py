@@ -252,36 +252,94 @@ def run_on_landmarks(
     }
 
 
+def auto_detect_checkpoints(save_dir: str) -> Dict[str, str]:
+    """Find the newest checkpoint per modality under a save-models root
+    (reference: auto_detect_checkpoint, inference_pipeline.py:28-38).
+
+    Handles both layouts:
+    - our Orbax run dirs: <save_dir>/<experiment>/<step>/ where the
+      experiment name contains the modality ("joint", "bone",
+      "joint_motion"/"joint-motion", ...) — the highest step wins,
+    - reference torch files: <save_dir>/*_<modality>-<epoch>-<step>.pt —
+      the highest epoch wins.
+    """
+    import glob as _glob
+
+    from shift_gcn_tpu.utils.checkpoint import latest_checkpoint
+
+    def has_modality(name: str, modality: str) -> bool:
+        norm = name.lower().replace("-", "_")
+        if modality in ("joint", "bone"):
+            # plain joint/bone must not match the *_motion experiments
+            return (modality in norm.split("_")
+                    and "motion" not in norm)
+        return modality in norm
+
+    found: Dict[str, str] = {}
+    if not os.path.isdir(save_dir):
+        return found
+    entries = sorted(os.listdir(save_dir))
+    for modality in MODALITY_ORDER:
+        for entry in entries:
+            full = os.path.join(save_dir, entry)
+            if os.path.isdir(full) and has_modality(entry, modality):
+                latest = latest_checkpoint(full)
+                if latest:
+                    found[modality] = latest
+                    break
+        if modality in found:
+            continue
+        pts = [p for p in _glob.glob(os.path.join(save_dir, "*.pt"))
+               if has_modality(os.path.basename(p).rsplit("-", 2)[0],
+                               modality)]
+        if pts:
+            def epoch_of(p):
+                parts = os.path.splitext(os.path.basename(p))[0].rsplit(
+                    "-", 2)
+                return int(parts[-2]) if len(parts) >= 3 else 0
+            found[modality] = max(pts, key=epoch_of)
+    return found
+
+
 def run_pipeline(
     video_path: str,
     checkpoints: Optional[Dict[str, str]] = None,
     *,
     fourstream_checkpoint: Optional[str] = None,
     output_json: Optional[str] = None,
+    output_video: Optional[str] = None,
     window: int = 300,
     stride: int = 150,
     threshold: float = 0.5,
     pose_backend: str = "mediapipe",
     max_frames: int = 100000,
+    model_config: Optional[ModelConfig] = None,
 ) -> Dict:
     """Full video -> report (reference: run_pipeline,
     inference_pipeline.py:574-670).  Models come either from per-modality
     `checkpoints` (reference layout: four run dirs) or from one
-    `fourstream_checkpoint` (concurrent-fourstream training)."""
-    from shift_gcn_tpu.data.gendata.mediapipe import get_backend
+    `fourstream_checkpoint` (concurrent-fourstream training).
+
+    ``output_video``: write an annotated mp4 (skeleton overlay from the
+    backend's pixel landmarks, probability bar, fall-interval tint) — the
+    reference wires this at inference_pipeline.py:663-667."""
+    from shift_gcn_tpu.data.gendata.mediapipe import (
+        get_backend, pixel_landmarks, world_landmarks)
 
     if (checkpoints is None) == (fourstream_checkpoint is None):
         raise ValueError(
             "pass exactly one of checkpoints / fourstream_checkpoint")
     backend = get_backend(pose_backend)
-    landmarks = backend(video_path, max_frames)
+    result = backend(video_path, max_frames)
+    landmarks = world_landmarks(result)
     if landmarks is None:
         raise RuntimeError(f"no pose could be extracted from {video_path}")
     if fourstream_checkpoint is not None:
         predictor = EnsemblePredictor.from_fourstream_checkpoint(
-            fourstream_checkpoint)
+            fourstream_checkpoint, model_config=model_config)
     else:
-        predictor = EnsemblePredictor(checkpoints)
+        predictor = EnsemblePredictor(checkpoints,
+                                      model_config=model_config)
     report = run_on_landmarks(
         landmarks, predictor, window=window, stride=stride,
         threshold=threshold)
@@ -289,6 +347,17 @@ def run_pipeline(
     if output_json:
         with open(output_json, "w") as f:
             json.dump(report, f, indent=2)
+    if output_video:
+        from shift_gcn_tpu.inference.render import render_annotated_video
+
+        render_annotated_video(
+            video_path, output_video,
+            frame_probs=report["frame_probabilities"],
+            fall_intervals=report["fall_intervals"],
+            graph=predictor.graph,
+            pixel_landmarks=pixel_landmarks(result),
+            threshold=threshold)
+        report["annotated_video"] = output_video
     return report
 
 
@@ -304,23 +373,35 @@ def main(argv=None):
     parser.add_argument("--fourstream", default=None,
                         help="one concurrent-fourstream checkpoint "
                         "(replaces the four per-modality paths)")
+    parser.add_argument("--save-dir", default=None,
+                        help="auto-detect per-modality checkpoints under "
+                        "this save-models root (reference "
+                        "inference_pipeline.py:28-38)")
     parser.add_argument("--output", default="results.json")
+    parser.add_argument("--output-video", default=None,
+                        help="write an annotated mp4 here")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--window", type=int, default=300)
     parser.add_argument("--stride", type=int, default=150)
     args = parser.parse_args(argv)
     ckpts = None
     if args.fourstream is None:
-        if args.joint is None:
-            parser.error("--joint (or --fourstream) is required")
-        ckpts = {"joint": args.joint}
-        for key in ("bone", "joint_motion", "bone_motion"):
-            val = getattr(args, key)
-            if val:
-                ckpts[key] = val
+        if args.save_dir:
+            ckpts = auto_detect_checkpoints(args.save_dir)
+            if not ckpts:
+                parser.error(f"no checkpoints found under {args.save_dir}")
+        else:
+            if args.joint is None:
+                parser.error(
+                    "--joint (or --fourstream / --save-dir) is required")
+            ckpts = {"joint": args.joint}
+            for key in ("bone", "joint_motion", "bone_motion"):
+                val = getattr(args, key)
+                if val:
+                    ckpts[key] = val
     report = run_pipeline(
         args.video, ckpts, fourstream_checkpoint=args.fourstream,
-        output_json=args.output,
+        output_json=args.output, output_video=args.output_video,
         window=args.window, stride=args.stride, threshold=args.threshold)
     print(json.dumps({k: v for k, v in report.items()
                       if k != "frame_probabilities"}, indent=2))

@@ -300,13 +300,41 @@ def _apply_shift_tcn(
     training: bool,
     axis_name: Optional[str],
     compute_dtype,
+    time_axis: Optional[str] = None,
+    batch_axes: Tuple[str, ...] = (),
 ) -> Tuple[jax.Array, State]:
     """Temporal block (reference: model/shift_gcn.py:65-74).
 
     x: (N, T, V, C) -> (N, T//stride, V, C_out).
+
+    With ``time_axis`` set (T sharded over that mesh axis inside a
+    shard_map), the temporal shifts run as halo-exchange ops
+    (parallel/halo.py) with the same constraint VJP.
     """
     import importlib
     import os as _os
+
+    if time_axis is not None:
+        from shift_gcn_tpu.parallel.halo import sharded_temporal_shift_train
+
+        h, bn_state = batch_norm(
+            x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
+            training=training, axis_name=axis_name)
+        h = sharded_temporal_shift_train(
+            h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1,
+            time_axis, batch_axes)
+        h = pointwise_conv(
+            h, params["temporal_linear"]["weight"],
+            params["temporal_linear"]["bias"],
+            compute_dtype=compute_dtype)
+        h = jax.nn.relu(h)
+        h = sharded_temporal_shift_train(
+            h, params["shift_out"]["xpos"], params["shift_out"]["ypos"],
+            stride, time_axis, batch_axes)
+        h, bn2_state = batch_norm(
+            h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
+            training=training, axis_name=axis_name)
+        return h, {"bn": bn_state, "bn2": bn2_state}
     # NB: must be importlib — `shift_gcn_tpu.ops` re-exports the
     # `temporal_shift` *function*, shadowing the submodule name
     _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
@@ -380,6 +408,8 @@ def _apply_block(
     axis_name: Optional[str],
     compute_dtype,
     use_pallas: bool = False,
+    time_axis: Optional[str] = None,
+    batch_axes: Tuple[str, ...] = (),
 ) -> Tuple[jax.Array, State]:
     """TCN_GCN_unit (reference: model/shift_gcn.py:145-162)."""
     h, gcn_state = _apply_shift_gcn(
@@ -388,11 +418,17 @@ def _apply_block(
         use_pallas=use_pallas)
     h, tcn_state = _apply_shift_tcn(
         params["tcn1"], state["tcn1"], h, stride=spec.stride,
-        training=training, axis_name=axis_name, compute_dtype=compute_dtype)
+        training=training, axis_name=axis_name, compute_dtype=compute_dtype,
+        time_axis=time_axis, batch_axes=batch_axes)
     new_state: State = {"gcn1": gcn_state, "tcn1": tcn_state}
     if not spec.residual:
         res = 0.0
     elif "residual" in params:
+        if time_axis is not None and params["residual"]["conv"][
+                "weight"].shape[2] != 1:
+            raise ValueError(
+                "time-sharded apply supports only k=1 residual convs "
+                "(k>1 would need its own halo exchange)")
         res = temporal_conv(
             x, params["residual"]["conv"]["weight"],
             params["residual"]["conv"]["bias"], stride=spec.stride,
@@ -415,20 +451,36 @@ def apply(
     *,
     training: bool = False,
     axis_name: Optional[str] = None,
+    time_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, State]:
     """Full model forward.
 
     Args:
       x: (N, C, T, V, M) float input — reference feeder layout.
       training: batch-stat BN + running-stat update when True.
-      axis_name: mesh axis for sync-BN (None = per-replica stats, the
-        reference-parity behavior under data parallelism).
+      axis_name: mesh axis (or tuple of axes) for sync-BN (None =
+        per-replica stats, the reference-parity behavior under data
+        parallelism).  When time_axis is set this MUST include it so BN
+        stats cover the full (N, T) extent.
+      time_axis: mesh axis holding a shard of T (sequence parallelism;
+        call inside `jax.shard_map` with x sharded on T).  Temporal shifts
+        become halo-exchange ops and the final pooling pmean-reduces over
+        the axis, so the returned logits are replicated along it.
 
     Returns:
       (logits (N, num_class), new_state).
     """
     n, c, t, v, m = x.shape
     compute_dtype = config.dtype
+    if time_axis is not None:
+        bn_axes = ((axis_name,) if isinstance(axis_name, str)
+                   else tuple(axis_name or ()))
+        if training and time_axis not in bn_axes:
+            raise ValueError(
+                "axis_name must include time_axis for correct BN stats")
+        batch_axes = tuple(a for a in bn_axes if a != time_axis)
+    else:
+        batch_axes = ()
 
     # data_bn over M*V*C features with stats over (N, T)
     # (reference: model/shift_gcn.py:196-198).
@@ -450,7 +502,8 @@ def apply(
         fn = lambda p_, s_, x_: _apply_block(  # noqa: E731
             p_, s_, x_, spec, training=training,
             axis_name=axis_name, compute_dtype=compute_dtype,
-            use_pallas=config.use_pallas)
+            use_pallas=config.use_pallas, time_axis=time_axis,
+            batch_axes=batch_axes)
         if use_remat:
             fn = jax.checkpoint(fn)
         return fn(p, s, x)
@@ -465,6 +518,9 @@ def apply(
     feat = h.shape[-1]
     h = h.astype(jnp.float32)
     h = h.reshape(n, m, -1, feat).mean(axis=2).mean(axis=1)  # (N, feat)
+    if time_axis is not None:
+        # equal T' shards: global mean over (T', V) = mean of shard means
+        h = jax.lax.pmean(h, time_axis)
     logits = h @ params["fc"]["weight"].T + params["fc"]["bias"]
     return logits, new_state
 

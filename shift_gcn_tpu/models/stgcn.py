@@ -105,11 +105,36 @@ def init_params(key: jax.Array, config: STGCNConfig) -> Tuple[Params, State]:
     return params, state
 
 
-def _block(params, state, x, stride, adj_base, *, training, axis_name):
-    """x: (N, T, V, C_in) -> (N, T//stride, V, C_out)."""
-    # fixed topology + learnable residual adjacency (AGCN-style)
-    adj = adj_base if "B" not in params else adj_base + params["B"]
-    h = dense_graph_aggregate(x, adj, params["gcn_weight"])
+def _block(params, state, x, stride, adj_base, *, training, axis_name,
+           edges=None, edge_axis=None):
+    """x: (N, T, V, C_in) -> (N, T//stride, V, C_out).
+
+    With ``edges``/``edge_axis`` set (inside shard_map, this device's
+    slice of the subset-flattened COO edge list), the fixed-topology
+    aggregation runs edge-partitioned across the mesh axis
+    (parallel/edge_partition.py); the learnable residual adjacency B stays
+    a dense (tiny) matmul, so the result is exactly dense(A + B).
+    """
+    if edges is not None:
+        from shift_gcn_tpu.parallel.edge_partition import (
+            edge_partitioned_aggregate)
+
+        v = x.shape[-2]
+        # per-subset projection, then flatten (K, V) into one node axis so
+        # a single partitioned segment-sum covers all subsets
+        hk = jnp.einsum("...uc,kcd->k...ud", x, params["gcn_weight"],
+                        preferred_element_type=jnp.float32)
+        hk = jnp.moveaxis(hk, 0, -3)                     # (..., K, V, D)
+        hk = hk.reshape(hk.shape[:-3] + (-1, hk.shape[-1]))  # (..., K*V, D)
+        h = edge_partitioned_aggregate(
+            hk, edges["src"], edges["dst"], edges["weight"], v, edge_axis)
+        if "B" in params:
+            h = h + dense_graph_aggregate(
+                x, params["B"], params["gcn_weight"])
+    else:
+        # fixed topology + learnable residual adjacency (AGCN-style)
+        adj = adj_base if "B" not in params else adj_base + params["B"]
+        h = dense_graph_aggregate(x, adj, params["gcn_weight"])
     h = h + params["gcn_bias"]
     h, bn1_state = batch_norm(
         h, params["bn1"], state["bn1"], reduce_axes=(0, 1, 2),
@@ -143,7 +168,12 @@ def apply(
     *,
     training: bool = False,
     axis_name: Optional[str] = None,
+    edges: Optional[Dict[str, jax.Array]] = None,
+    edge_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, State]:
+    """Forward.  ``edges``/``edge_axis``: run the fixed-topology
+    aggregation edge-partitioned over a mesh axis (this device's COO
+    slice, inside shard_map — see parallel.edge_partition)."""
     n, c, t, v, m = x.shape
     h = jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(n, m * v * c, t)
     h = jnp.transpose(h, (0, 2, 1))
@@ -159,7 +189,8 @@ def apply(
         name = f"l{i + 1}"
         h, block_state = _block(
             params[name], state[name], h, stride, adj_base,
-            training=training, axis_name=axis_name)
+            training=training, axis_name=axis_name, edges=edges,
+            edge_axis=edge_axis)
         new_state[name] = block_state
 
     feat = h.shape[-1]

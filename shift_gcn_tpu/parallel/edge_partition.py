@@ -68,6 +68,101 @@ def edge_partitioned_aggregate(
     return jax.lax.psum(partial, axis_name)
 
 
+def subset_coo_from_adjacency(adjacency: np.ndarray) -> Dict[str, np.ndarray]:
+    """Flatten a (K, V, V) multi-subset adjacency stack into one COO edge
+    list whose sources index the (K*V,)-flattened per-subset projections:
+    edge (k, v, u) becomes src = k*V + u, dst = v, weight = A[k, v, u].
+
+    This is how the ST-GCN family's sum_k A_k (X W_k) becomes a single
+    partitioned segment-sum (models/stgcn._block edge path).
+    """
+    k, v, _ = adjacency.shape
+    ks, vs, us = np.nonzero(adjacency)
+    return {
+        "src": (ks * v + us).astype(np.int32),
+        "dst": vs.astype(np.int32),
+        "weight": adjacency[ks, vs, us].astype(np.float32),
+    }
+
+
+def make_edge_sharded_train_step(
+    config,
+    wd_tree,
+    mesh,
+    *,
+    batch_axis: str = "data",
+    edge_axis: str = "model",
+    apply_fn=None,
+):
+    """ST-GCN-family train step with the graph aggregation edge-partitioned
+    over ``edge_axis`` and the batch sharded over ``batch_axis``.
+
+    Each device owns a contiguous slice of the subset-flattened COO edge
+    list; the per-block aggregation all_gathers nothing (node features are
+    replicated along the edge axis), segment-sums its own edges, and psums
+    partial destination sums over ICI — the north-star mechanism of
+    BASELINE.json, integrated into a real training step.  Verified equal
+    to the unsharded dense step (tests/test_parallel.py).
+
+    Same contract as train.state.make_train_step.
+    """
+    import jax.numpy as _jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shift_gcn_tpu.graphs import get_graph
+    from shift_gcn_tpu.models import stgcn
+    from shift_gcn_tpu.train.optim import sgd_update
+    from shift_gcn_tpu.train.state import TrainState, cross_entropy
+
+    model_apply = apply_fn or stgcn.apply
+    graph = get_graph(config.graph)
+    coo = subset_coo_from_adjacency(np.asarray(graph.A))
+    parts = partition_edges(coo, mesh.shape[edge_axis])
+    edge_sharding = NamedSharding(mesh, P(edge_axis))
+    edges_dev = {k: jax.device_put(v, edge_sharding)
+                 for k, v in parts.items()}
+    data_spec = P(batch_axis)
+
+    def sharded_apply(params, bn_state, data, training):
+        def inner(p, s, d, e):
+            local = {k: v[0] for k, v in e.items()}
+            return model_apply(
+                p, s, d, config, training=training,
+                axis_name=(batch_axis,) if training else None,
+                edges=local, edge_axis=edge_axis)
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), data_spec,
+                      {k: P(edge_axis) for k in edges_dev}),
+            out_specs=(data_spec, P()),
+        )(params, bn_state, data, edges_dev)
+
+    def loss_fn(params, bn_state, data, label):
+        logits, new_bn_state = sharded_apply(params, bn_state, data, True)
+        loss = cross_entropy(logits, label)
+        return loss, (loss, logits, new_bn_state)
+
+    def train_step(state, batch, lr):
+        grads, (loss, logits, new_bn_state) = jax.grad(
+            loss_fn, has_aux=True)(
+                state.params, state.bn_state, batch["data"], batch["label"])
+        new_params, new_opt_state = sgd_update(
+            state.params, grads, state.opt_state, lr, wd_tree)
+        acc = _jnp.mean(
+            (_jnp.argmax(logits, axis=-1) == batch["label"]).astype(
+                _jnp.float32))
+        return TrainState(
+            params=new_params,
+            bn_state=new_bn_state,
+            opt_state=new_opt_state,
+            global_step=state.global_step + 1,
+        ), {"loss": loss, "acc": acc}
+
+    return train_step
+
+
 def make_sharded_aggregator(
     edges: Dict[str, np.ndarray],
     num_nodes: int,

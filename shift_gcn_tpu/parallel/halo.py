@@ -7,19 +7,31 @@ practice).  Sharding T over a mesh axis therefore needs only a halo exchange
 of a few frames between neighboring shards per block — `ppermute` traffic
 that rides ICI and overlaps with local compute under XLA's scheduler.
 
-Used inside `jax.shard_map` with the time axis sharded on `axis_name`.
+Two entry points, both used inside `jax.shard_map` with the time axis
+sharded on `axis_name`:
+
+- `sharded_temporal_shift`: forward lowering (eval / inference).
+- `sharded_temporal_shift_train`: same forward plus the reference's
+  constraint backward (shift_cuda_kernel.cu:370-395) as a `custom_vjp`:
+  grad_input is the true transposed halo conv (reverse `ppermute`s carry
+  boundary cotangents back), xpos grad is zero, and the ypos grad is the
+  fixed-magnitude +-0.01 step whose sign comes from the corner-difference
+  inner product reduced over the *global* (batch, time) extent — psum over
+  the time axis, pmean over the batch axis — exactly matching the
+  unsharded `temporal_shift` VJP.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from shift_gcn_tpu.ops.temporal_shift import (
     MAX_SHIFT as _MAX_SHIFT,
+    _floor_taps,
     _hat_taps,
 )
 
@@ -54,6 +66,51 @@ def halo_exchange(x: jax.Array, halo_lo: int, halo_hi: int,
     return jnp.concatenate(pieces, axis=1)
 
 
+def _sharded_shift_conv(
+    x: jax.Array,
+    taps_t: jax.Array,
+    taps_v: Optional[jax.Array],
+    stride: int,
+    axis_name: str,
+) -> jax.Array:
+    """Halo-extended dense tap contraction over a T-sharded block.
+
+    x: (N, T_local, V, C); taps_t: (2*MAX_SHIFT+2, C) anchored at
+    -MAX_SHIFT.  Returns (N, T_local // stride, V, C).
+    """
+    k = _MAX_SHIFT
+    halo_lo, halo_hi = k, k + 1
+    if x.shape[1] < max(halo_lo, halo_hi):
+        raise ValueError(
+            f"T_local={x.shape[1]} must be >= MAX_SHIFT+1={k + 1} for a "
+            "single-hop halo exchange; use more frames per shard or lower "
+            "SGT_MAX_SHIFT")
+    ext = halo_exchange(x, halo_lo, halo_hi, axis_name)
+
+    n, t_ext, v, c = ext.shape
+    t_local = x.shape[1]
+    t_out = t_local // stride
+
+    if taps_v is not None:
+        xv = jnp.pad(ext, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        h = sum(
+            jax.lax.slice_in_dim(xv, j, j + v, axis=2) * taps_v[j]
+            for j in range(taps_v.shape[0]))
+    else:
+        h = ext
+    out = None
+    qt = taps_t.shape[0]
+    for q in range(qt):
+        start = q  # == halo_lo + (q - k) with halo_lo == k
+        sl = jax.lax.slice(
+            h, (0, start, 0, 0),
+            (n, start + (t_out - 1) * stride + 1, v, c),
+            (1, stride, 1, 1))
+        term = sl * taps_t[q]
+        out = term if out is None else out + term
+    return out
+
+
 def sharded_temporal_shift(
     x: jax.Array,
     xpos: jax.Array,
@@ -68,34 +125,82 @@ def sharded_temporal_shift(
     Matches the unsharded `temporal_shift` exactly (global zero padding
     falls out of the zero halos at the chain ends).
 
-    Requires T_local divisible by stride.  Forward-only (the sharded
-    training path composes this under grad via the surrounding shard_map).
+    Requires T_local divisible by stride and >= MAX_SHIFT + 1.  Forward
+    lowering only — for training use `sharded_temporal_shift_train`, which
+    adds the reference constraint backward.
     """
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    k = _MAX_SHIFT
-    halo_lo, halo_hi = k, k + 1
-    ext = halo_exchange(x, halo_lo, halo_hi, axis_name)
+    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    taps_v = _hat_taps(xpos, -1, 1)
+    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name)
 
-    n, t_ext, v, c = ext.shape
-    t_local = x.shape[1]
-    t_out = t_local // stride
-    taps_t = _hat_taps(ypos_eff, -k, k + 1)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def sharded_temporal_shift_train(
+    x: jax.Array,
+    xpos: jax.Array,
+    ypos: jax.Array,
+    stride: int,
+    axis_name: str,
+    batch_axes: Tuple[str, ...] = (),
+) -> jax.Array:
+    """`sharded_temporal_shift` with the reference constraint backward.
+
+    Used inside a shard_map whose mesh axes are exactly
+    ``batch_axes + (axis_name,)`` with the position parameters replicated
+    (in_spec P()).  The ypos cotangent returned per device is the global
+    constraint value divided by the total device count, so the outer
+    shard_map transpose (psum of replicated-input cotangents over all mesh
+    axes) reconstructs exactly +-0.01 / 1e-4 — matching the unsharded
+    `temporal_shift` VJP (reference: shift_cuda_kernel.cu:370-395).
+    """
+    ypos_eff = ypos if stride == 1 else ypos + 0.5
+    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    taps_v = _hat_taps(xpos, -1, 1)
+    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name)
+
+
+def _sts_fwd(x, xpos, ypos, stride, axis_name, batch_axes):
+    ypos_eff = ypos if stride == 1 else ypos + 0.5
+    out = sharded_temporal_shift_train(
+        x, xpos, ypos, stride, axis_name, batch_axes)
+    return out, (x, xpos, ypos_eff)
+
+
+def _sts_bwd(stride, axis_name, batch_axes, residuals, g):
+    x, xpos, ypos_eff = residuals
+    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
     taps_v = _hat_taps(xpos, -1, 1)
 
-    # local output row t reads ext[t*stride + halo_lo + tap] with taps
-    # anchored at -k; slide the slice window accordingly.
-    xv = jnp.pad(ext, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    h = sum(
-        jax.lax.slice_in_dim(xv, j, j + v, axis=2) * taps_v[j]
-        for j in range(taps_v.shape[0]))
-    out = None
-    qt = taps_t.shape[0]
-    for q in range(qt):
-        start = q  # == halo_lo + (q - k) with halo_lo == k
-        sl = jax.lax.slice(
-            h, (0, start, 0, 0),
-            (n, start + (t_out - 1) * stride + 1, v, c),
-            (1, stride, 1, 1))
-        term = sl * taps_t[q]
-        out = term if out is None else out + term
-    return out
+    # grad_input: true VJP of the (linear-in-x) halo conv — the transposed
+    # ppermutes carry boundary cotangents back to their source shards.
+    _, vjp_fn = jax.vjp(
+        lambda xx: _sharded_shift_conv(xx, taps_t, taps_v, stride,
+                                       axis_name), x)
+    grad_input, = vjp_fn(g)
+
+    # raw ypos grad: corner-difference conv, then mean over the global
+    # batch (pmean over batch_axes of local-batch means) and sum over the
+    # global (T, V) extent (psum over the time axis of local sums) —
+    # identical reduction to the unsharded VJP (cu:343-349, 501-509).
+    dtaps_t = _floor_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    dval_y = _sharded_shift_conv(x, dtaps_t, taps_v, stride, axis_name)
+    gy_local = jnp.sum(jnp.mean(
+        (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
+    gy_raw = jax.lax.psum(gy_local, axis_name)
+    if batch_axes:
+        gy_raw = jax.lax.pmean(gy_raw, batch_axes)
+
+    # constraint (cu:370-395): fixed-magnitude steps, xpos frozen.  The
+    # returned cotangent is already device-invariant (globally reduced
+    # above), and JAX's VMA-aware shard_map AD passes invariant cotangents
+    # of replicated inputs through unscaled — so this IS the final grad.
+    dr = jnp.abs(gy_raw)
+    gy = jnp.where(dr != 0,
+                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
+                   1e-4).astype(ypos_eff.dtype)
+    gx = jnp.zeros_like(xpos)
+    return grad_input, gx, gy
+
+
+sharded_temporal_shift_train.defvjp(_sts_fwd, _sts_bwd)

@@ -46,3 +46,50 @@ def shard_batch(mesh: Mesh, batch):
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel parameter sharding rules
+# ---------------------------------------------------------------------------
+
+
+def param_spec(path, leaf) -> P:
+    """Partition rule for one parameter leaf, keyed off its state-dict path.
+
+    The TP axis shards the output channels of the two hot matmuls:
+    - ``Linear_weight`` (C_in, C_out) -> P(..., 'model') — the spatial
+      pointwise matmul (reference einsum nwc,cd->nwd, model/shift_gcn.py:131),
+    - ``temporal_linear.weight`` (C_out, C_in, 1, 1) -> P('model', ...) —
+      the temporal 1x1 conv (model/shift_gcn.py:53).
+    Works for both plain and fourstream (stream-stacked, one extra leading
+    axis) parameter pytrees; everything else is replicated and XLA's SPMD
+    partitioner propagates the activation shardings + collectives.
+    """
+    keys = [str(getattr(k, "key", "")) for k in path]
+    name = ".".join(keys)
+    if "Linear_weight" in name and leaf.ndim >= 2:
+        spec = [None] * leaf.ndim
+        spec[-1] = "model"
+        return P(*spec)
+    if name.endswith("temporal_linear.weight") and leaf.ndim >= 4:
+        spec = [None] * leaf.ndim
+        spec[leaf.ndim - 4] = "model"
+        return P(*spec)
+    return P()
+
+
+def state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a TrainState: TP rules on params (and the
+    momentum buffer, which mirrors params), everything else replicated."""
+    params_sh = jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, param_spec(p, l)), state.params)
+    repl = NamedSharding(mesh, P())
+    return type(state)(
+        params=params_sh,
+        bn_state=jax.tree_util.tree_map(lambda _: repl, state.bn_state),
+        opt_state=type(state.opt_state)(
+            momentum_buf=params_sh,
+            initialized=repl,
+        ),
+        global_step=repl,
+    )

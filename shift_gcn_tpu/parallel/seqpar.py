@@ -1,0 +1,126 @@
+"""Sequence-parallel (T-sharded) training: the full model under shard_map.
+
+Composes data parallelism and temporal-axis sharding in one SPMD program:
+the batch is sharded over `batch_axis`, the 300-frame clip axis over
+`time_axis`, parameters are replicated, and the only cross-shard traffic is
+
+- MAX_SHIFT(+1)-frame halo `ppermute`s per temporal shift (parallel/halo.py),
+- BN statistic `pmean`s over (batch, time),
+- one `pmean` at the final pooling,
+- the gradient `psum` the shard_map transpose inserts for the replicated
+  parameters.
+
+The resulting train step is verified bit-equal (to fp32 tolerance) against
+the unsharded `train.state.make_train_step` on the 8-device CPU mesh
+(tests/test_parallel.py) — the integration standard set by the reference's
+nn.DataParallel (main.py:294-299), here for sequence parallelism the
+reference cannot express.
+
+Shape requirements: T divisible by (time shards x product of block
+strides), T_local >= MAX_SHIFT + 1 at every block (for T=300-class inputs
+and 2-4 way sharding this always holds).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from shift_gcn_tpu.models import shift_gcn
+from shift_gcn_tpu.train.optim import sgd_update
+from shift_gcn_tpu.train.state import TrainState, cross_entropy
+
+
+def make_time_sharded_train_step(
+    config,
+    wd_tree: Any,
+    mesh: Mesh,
+    *,
+    batch_axis: str = "data",
+    time_axis: str = "model",
+    apply_fn=None,
+):
+    """Train step with batch sharded over `batch_axis` and T over
+    `time_axis`.  Same signature/semantics as
+    `train.state.make_train_step`: (state, batch, lr) -> (state, metrics).
+    """
+    model_apply = apply_fn or shift_gcn.apply
+    bn_axes = (batch_axis, time_axis)
+    data_spec = P(batch_axis, None, time_axis)  # (N, C, T, V, M)
+
+    def sharded_apply(params, bn_state, data):
+        def inner(p, s, d):
+            return model_apply(p, s, d, config, training=True,
+                               axis_name=bn_axes, time_axis=time_axis)
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), data_spec),
+            out_specs=(P(batch_axis), P()),
+        )(params, bn_state, data)
+
+    def loss_fn(params, bn_state, data, label):
+        logits, new_bn_state = sharded_apply(params, bn_state, data)
+        loss = cross_entropy(logits, label)
+        return loss, (loss, logits, new_bn_state)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   lr: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grads, (loss, logits, new_bn_state) = jax.grad(
+            loss_fn, has_aux=True)(
+                state.params, state.bn_state, batch["data"], batch["label"])
+        new_params, new_opt_state = sgd_update(
+            state.params, grads, state.opt_state, lr, wd_tree)
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(
+                jnp.float32))
+        new_state = TrainState(
+            params=new_params,
+            bn_state=new_bn_state,
+            opt_state=new_opt_state,
+            global_step=state.global_step + 1,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_time_sharded_eval_step(
+    config,
+    mesh: Mesh,
+    *,
+    batch_axis: str = "data",
+    time_axis: str = "model",
+    apply_fn=None,
+):
+    """Eval step over the (batch, time)-sharded mesh: same contract as
+    `train.state.make_eval_step` ((params, bn_state, batch) ->
+    (logits, loss_sum, n))."""
+    model_apply = apply_fn or shift_gcn.apply
+    data_spec = P(batch_axis, None, time_axis)
+
+    def eval_step(params, bn_state, batch):
+        def inner(p, s, d):
+            logits, _ = model_apply(p, s, d, config, training=False,
+                                    time_axis=time_axis)
+            return logits
+
+        logits = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), data_spec),
+            out_specs=P(batch_axis),
+        )(params, bn_state, batch["data"])
+        mask = batch.get("mask")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, batch["label"][:, None].astype(jnp.int32), axis=-1)[:, 0]
+        if mask is None:
+            mask = jnp.ones_like(nll)
+        return logits, jnp.sum(nll * mask), jnp.sum(mask)
+
+    return eval_step

@@ -66,6 +66,9 @@ class ExperimentConfig:
     activation_dtype: Optional[str] = None  # e.g. bfloat16 whole-backbone
                                             # activations (BN stats fp32)
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
+    shard_time: bool = False                # sequence parallelism: shard T
+                                            # over the 'model' mesh axis
+                                            # (shard_map + halo exchange)
     sync_bn: bool = True                    # global-batch BN under jit
     donate_state: bool = True
     remat: bool = False                     # per-block rematerialization
@@ -92,7 +95,7 @@ class ExperimentConfig:
 
 _BOOL_KEYS = {"save_score", "print_log", "nesterov", "only_train_part",
               "overwrite", "sync_bn", "donate_state", "device_guard",
-              "fourstream"}
+              "fourstream", "shard_time"}
 
 
 def _coerce(value: str, current: Any) -> Any:

@@ -141,12 +141,32 @@ class Trainer:
         if self.cfg.fourstream:
             from shift_gcn_tpu.train import fourstream as fs
 
+            if self.cfg.shard_time:
+                raise ValueError(
+                    "shard_time is not supported with fourstream")
             graph = fs.graph_for_config(self.model_config)
             train_step = fs.make_fourstream_train_step(
                 self.model_config, self.wd_tree, graph,
                 apply_fn=self.family.apply)
             eval_step = fs.make_fourstream_eval_step(
                 self.model_config, graph, apply_fn=self.family.apply)
+        elif self.cfg.shard_time:
+            # sequence parallelism: T sharded over the 'model' mesh axis,
+            # batch over 'data', inside one shard_map program
+            from shift_gcn_tpu.parallel import seqpar
+
+            if self.mesh.shape["model"] < 2:
+                raise ValueError(
+                    "shard_time needs mesh_shape [data, model] with "
+                    "model >= 2 (the 'model' axis carries the T shards)")
+            train_step = seqpar.make_time_sharded_train_step(
+                self.model_config, self.wd_tree, self.mesh,
+                batch_axis="data", time_axis="model",
+                apply_fn=self.family.apply)
+            eval_step = seqpar.make_time_sharded_eval_step(
+                self.model_config, self.mesh,
+                batch_axis="data", time_axis="model",
+                apply_fn=self.family.apply)
         else:
             train_step = state_lib.make_train_step(
                 self.model_config, self.wd_tree, apply_fn=self.family.apply)
@@ -154,6 +174,12 @@ class Trainer:
                 self.model_config, apply_fn=self.family.apply)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
+        if self.mesh.shape["model"] > 1 and not self.cfg.shard_time:
+            # tensor parallelism: commit the state to the TP shardings
+            # (Linear_weight / temporal_linear output channels over
+            # 'model'); jit then propagates them through the step
+            self.state = jax.device_put(
+                self.state, mesh_lib.state_shardings(self.mesh, self.state))
 
     def _load_data(self) -> None:
         cfg = self.cfg

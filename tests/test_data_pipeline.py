@@ -200,3 +200,41 @@ class TestEnsemble:
         from shift_gcn_tpu.ensemble import ensemble_scores
         with pytest.raises(ValueError):
             ensemble_scores([{}, {}], [], alpha=(0.5,))
+
+    def test_index_keyed_ensemble(self, tmp_path):
+        """Reference ensemble.py:18-27 variant: streams fused by sample
+        position, not name — NTU pkls keyed by arbitrary ids still work
+        through run_ensemble's fallback."""
+        from shift_gcn_tpu.ensemble import (
+            ensemble_scores_by_index, run_ensemble)
+
+        rng = np.random.default_rng(1)
+        n = 20
+        labels = rng.integers(0, 2, n).tolist()
+        paths = []
+        for k in range(2):
+            # keys deliberately do NOT match the label file's names
+            scores = {}
+            for i, label in enumerate(labels):
+                logit = rng.standard_normal(2) * 0.1
+                logit[label] += 2.0
+                scores[f"stream{k}_id{i}"] = logit
+            p = tmp_path / f"idx{k}.pkl"
+            with open(p, "wb") as f:
+                pickle.dump(scores, f)
+            paths.append(str(p))
+
+        fused = ensemble_scores_by_index(
+            [pickle.load(open(p, "rb")) for p in paths], alpha=(0.6, 0.4))
+        assert fused.shape == (n, 2)
+        acc = np.mean(fused.argmax(1) == np.asarray(labels))
+        assert acc > 0.9
+
+        label_path = tmp_path / "label.pkl"
+        with open(label_path, "wb") as f:
+            pickle.dump(([f"s{i}" for i in range(n)], labels), f)
+        result = run_ensemble(str(label_path), paths, alpha=(0.6, 0.4))
+        assert result["top1"] > 0.9
+
+        with pytest.raises(ValueError, match="disagree"):
+            ensemble_scores_by_index([{"a": 1}, {}], alpha=(0.5, 0.5))

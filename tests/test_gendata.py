@@ -123,6 +123,74 @@ def test_mediapipe_pipeline_with_fake_backend(tmp_path):
     assert vlabels == [1]
 
 
+def test_label_map_mode_with_fake_backend(tmp_path):
+    """Generic label-map mode (reference mediapipe_gendata.py:93-165):
+    class-per-directory layout, filename-prefix fallback, skip-unknown."""
+    from shift_gcn_tpu.data.gendata import mediapipe as mp_gen
+
+    rng = np.random.default_rng(3)
+
+    def fake_backend(path, max_frame):
+        return rng.standard_normal((3, 10, 33, 1)).astype(np.float32)
+
+    video_dir = tmp_path / "videos"
+    (video_dir / "fall").mkdir(parents=True)
+    (video_dir / "walk").mkdir()
+    (video_dir / "fall" / "a.mp4").touch()
+    (video_dir / "fall" / "b.mp4").touch()
+    (video_dir / "walk" / "c.mp4").touch()
+    (video_dir / "fall_99.mp4").touch()      # prefix fallback
+    (video_dir / "unknown_x.mp4").touch()    # skipped with warning
+
+    out = tmp_path / "out"
+    label_map = {"fall": 1, "walk": 0}
+    mp_gen.gendata_label_map(
+        str(video_dir), str(out), label_map, max_frame=16,
+        backend=fake_backend)
+
+    data = np.load(out / "data_joint.npy")
+    with open(out / "label.pkl", "rb") as f:
+        names, labels = pickle.load(f)
+    assert data.shape == (4, 3, 16, 33, 1)
+    assert sorted(labels) == [0, 1, 1, 1]
+    assert "unknown_x.mp4" not in names
+
+    # split-file mode with a part prefix (reference CLI --train_split)
+    split = tmp_path / "train.txt"
+    split.write_text("fall/a.mp4\nwalk/c.mp4\n")
+    mp_gen.gendata_label_map(
+        str(video_dir), str(out), label_map, split_file=str(split),
+        part="train", max_frame=16, backend=fake_backend)
+    tdata = np.load(out / "train_data_joint.npy")
+    with open(out / "train_label.pkl", "rb") as f:
+        tnames, tlabels = pickle.load(f)
+    assert tdata.shape == (2, 3, 16, 33, 1)
+    assert tlabels == [1, 0]
+
+
+def test_label_map_cli(tmp_path):
+    from shift_gcn_tpu.data.gendata import mediapipe as mp_gen
+
+    assert mp_gen.parse_label_map("fall: 1, walk :0") == {
+        "fall": 1, "walk": 0}
+
+    def fake_backend(path, max_frame):
+        return np.ones((3, 5, 33, 1), np.float32)
+
+    mp_gen.register_backend("mediapipe", fake_backend)
+    try:
+        video_dir = tmp_path / "v"
+        (video_dir / "fall").mkdir(parents=True)
+        (video_dir / "fall" / "x.mp4").touch()
+        out = tmp_path / "o"
+        mp_gen.main(["--video-dir", str(video_dir), "--out-dir", str(out),
+                     "--label-map", "fall:1", "--max-frame", "8"])
+        assert (out / "data_joint.npy").exists()
+        assert (out / "label.pkl").exists()
+    finally:
+        mp_gen._BACKENDS.pop("mediapipe", None)
+
+
 def test_subsample_negatives_deterministic():
     from shift_gcn_tpu.data.gendata.mediapipe import subsample_negatives
 

@@ -90,3 +90,114 @@ def test_checkpoint_autodetect_latest(tiny_checkpoints):
     parent = paths["joint"].rsplit("/", 1)[0]
     predictor = EnsemblePredictor({"joint": parent}, model_config=cfg)
     assert predictor is not None
+
+
+def test_auto_detect_checkpoints_both_layouts(tmp_path):
+    """Per-modality auto-detect over a save-models root (reference
+    inference_pipeline.py:28-38): Orbax run dirs by experiment name with
+    highest step; reference .pt files by highest epoch; 'joint' must not
+    swallow 'joint_motion'."""
+    import os
+
+    from shift_gcn_tpu.inference.pipeline import auto_detect_checkpoints
+
+    root = tmp_path / "save_models"
+    for exp, steps in (("mediapipe_joint", [2, 5]),
+                       ("mediapipe-bone", [3]),
+                       ("mediapipe_joint_motion", [1])):
+        for s in steps:
+            d = root / exp / str(s)
+            d.mkdir(parents=True)
+            (d / "dummy").touch()
+    (root / "mediapipe_ShiftGCN_bone_motion-40-1000.pt").touch()
+    (root / "mediapipe_ShiftGCN_bone_motion-60-1500.pt").touch()
+
+    found = auto_detect_checkpoints(str(root))
+    assert set(found) == {"joint", "bone", "joint_motion", "bone_motion"}
+    assert found["joint"].endswith(os.path.join("mediapipe_joint", "5"))
+    assert found["bone"].endswith(os.path.join("mediapipe-bone", "3"))
+    assert found["joint_motion"].endswith(
+        os.path.join("mediapipe_joint_motion", "1"))
+    assert found["bone_motion"].endswith("-60-1500.pt")
+    # empty/missing root -> empty dict
+    assert auto_detect_checkpoints(str(tmp_path / "nope")) == {}
+
+
+def _write_test_video(path, n_frames=20, w=64, h=48):
+    import cv2
+
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    rng = np.random.default_rng(0)
+    for _ in range(n_frames):
+        writer.write(rng.integers(0, 255, (h, w, 3), np.uint8))
+    writer.release()
+    return n_frames, w, h
+
+
+def test_run_pipeline_writes_annotated_video(tmp_path, tiny_checkpoints):
+    """End-to-end: video file -> report + annotated mp4 with the same
+    frame count (reference wiring inference_pipeline.py:663-667), with
+    the skeleton overlay fed by backend pixel landmarks."""
+    import cv2
+
+    from shift_gcn_tpu.data.gendata import mediapipe as mp_gen
+    from shift_gcn_tpu.inference.pipeline import run_pipeline
+
+    cfg, paths = tiny_checkpoints
+    video = tmp_path / "vid.mp4"
+    n_frames, w, h = _write_test_video(video)
+
+    rng = np.random.default_rng(1)
+
+    def fake_backend(path, max_frame):
+        t = min(n_frames, max_frame)
+        world = rng.standard_normal((3, t, 33, 1)).astype(np.float32)
+        pixel = rng.uniform(1, min(w, h) - 1, (t, 33, 2)).astype(np.float32)
+        return world, pixel
+
+    mp_gen.register_backend("fake_pixel", fake_backend)
+    try:
+        out_video = tmp_path / "annotated.mp4"
+        out_json = tmp_path / "report.json"
+        report = run_pipeline(
+            str(video), paths, model_config=cfg,
+            output_json=str(out_json), output_video=str(out_video),
+            window=16, stride=8, pose_backend="fake_pixel")
+    finally:
+        mp_gen._BACKENDS.pop("fake_pixel", None)
+
+    assert report["annotated_video"] == str(out_video)
+    assert out_json.exists()
+    cap = cv2.VideoCapture(str(out_video))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == w
+    cap.release()
+    assert report["total_frames"] == n_frames
+
+
+def test_gui_resolve_checkpoints(tmp_path, tiny_checkpoints):
+    """GUI directory resolution: a save-models root -> 4-stream dict; a
+    single run dir -> joint-only; a fourstream run dir -> fourstream."""
+    import shutil
+
+    from shift_gcn_tpu.inference.gui import resolve_checkpoints
+
+    cfg, paths = tiny_checkpoints
+    root = tmp_path / "save_models"
+    root.mkdir()
+    for modality in ("joint", "bone"):
+        shutil.copytree(paths[modality].rsplit("/", 1)[0],
+                        root / f"mediapipe_{modality}")
+    ckpts, fourstream = resolve_checkpoints(str(root))
+    assert fourstream is None and set(ckpts) == {"joint", "bone"}
+
+    single = paths["joint"].rsplit("/", 1)[0]
+    ckpts, fourstream = resolve_checkpoints(single)
+    assert fourstream is None and set(ckpts) == {"joint"}
+
+    fs_dir = tmp_path / "mediapipe_fourstream"
+    shutil.copytree(single, fs_dir)
+    ckpts, fourstream = resolve_checkpoints(str(fs_dir))
+    assert ckpts is None and fourstream is not None

@@ -27,12 +27,16 @@ def _np(x):
 
 def _torch_temporal_shift(x, xpos, ypos, stride):
     """Reference CUDA forward semantics in torch: bilinear corner sum over
-    (N, C, T, V) with zero out-of-range reads; +0.5 on ypos for stride!=1."""
+    (N, C, T, V) with zero out-of-range reads; +0.5 on ypos for stride!=1.
+
+    Vectorized over (N, T, V) per channel (the per-element loop form is
+    equivalent but too slow for full-size T=128+ parity tests)."""
     if stride != 1:
         ypos = ypos + 0.5
     n, c, t_in, v_in = x.shape
     t_out = t_in // stride
-    out = torch.zeros((n, c, t_out, v_in), dtype=x.dtype)
+    xn = x.numpy()
+    out = np.zeros((n, c, t_out, v_in), dtype=xn.dtype)
     for ch in range(c):
         xv = float(xpos[ch])
         yv = float(ypos[ch])
@@ -43,16 +47,17 @@ def _torch_temporal_shift(x, xpos, ypos, stride):
                 (y1, x1 + 1, dx * (1 - dy)),
                 (y1 + 1, x1, (1 - dx) * dy),
                 (y1 + 1, x1 + 1, dx * dy)):
-            for t in range(t_out):
-                src_t = t * stride + ti
-                if not (0 <= src_t < t_in):
-                    continue
-                for v in range(v_in):
-                    src_v = v + vi
-                    if not (0 <= src_v < v_in):
-                        continue
-                    out[:, ch, t, v] += w * x[:, ch, src_t, src_v]
-    return out
+            if w == 0.0:
+                continue
+            t_src = np.arange(t_out) * stride + ti
+            v_src = np.arange(v_in) + vi
+            t_ok = np.nonzero((t_src >= 0) & (t_src < t_in))[0]
+            v_ok = np.nonzero((v_src >= 0) & (v_src < v_in))[0]
+            if not len(t_ok) or not len(v_ok):
+                continue
+            sub = xn[:, ch][np.ix_(range(n), t_src[t_ok], v_src[v_ok])]
+            out[:, ch][np.ix_(range(n), t_ok, v_ok)] += w * sub
+    return torch.as_tensor(out)
 
 
 def _torch_bn(x, p, s, dims, training):

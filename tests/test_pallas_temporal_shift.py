@@ -54,13 +54,22 @@ def test_grads_match_xla_lowering(stride):
     np.testing.assert_array_equal(np.asarray(gy2), np.asarray(gy1))
 
 
-def test_integer_shift_is_exact():
+def test_integer_shift_is_exact(monkeypatch):
+    # compare against the exact tap-conv lowering: the default dft path is
+    # allclose-but-not-bit-exact on integer shifts (frequency-domain
+    # round-trip), while conv and the Pallas kernel are exact
+    monkeypatch.setenv("SGT_TSHIFT_IMPL", "conv")
     x = jnp.asarray(
         np.arange(2 * 12 * 3 * 2, dtype=np.float32).reshape(2, 12, 3, 2))
     ypos = jnp.asarray([1.0, -2.0])
     a = np.asarray(ts.temporal_shift(x, jnp.zeros(2), ypos, 1))
     b = np.asarray(pk.temporal_shift_pallas(x, jnp.zeros(2), ypos, 1))
     np.testing.assert_array_equal(a, b)
+    # and both equal the analytic integer shift (zero padding at the ends)
+    want = np.zeros_like(np.asarray(x))
+    want[:, :-1, :, 0] = np.asarray(x)[:, 1:, :, 0]    # ypos=+1
+    want[:, 2:, :, 1] = np.asarray(x)[:, :-2, :, 1]    # ypos=-2
+    np.testing.assert_array_equal(b, want)
 
 
 def test_channel_padding_path():

@@ -126,6 +126,56 @@ def test_eval_handles_padded_final_batch(trainer, tmp_path):
     assert len(scores) == 30
 
 
+def _mesh_cfg(tmp_path, name, t, **kw):
+    from shift_gcn_tpu.train.config import ExperimentConfig
+    data_path, label_path = _write_synthetic_dataset(tmp_path, n=16, t=t,
+                                                     seed=2)
+    return ExperimentConfig(
+        Experiment_name=name,
+        work_dir=str(tmp_path / "work_dir"),
+        model_saved_name=str(tmp_path / "save_models"),
+        train_feeder_args={"data_path": data_path, "label_path": label_path},
+        test_feeder_args={"data_path": data_path, "label_path": label_path},
+        model_args={"num_class": 2, "num_point": 25, "num_person": 1,
+                    "graph": "ntu_rgb_d",
+                    "blocks": [[3, 8, 1, 0], [8, 16, 2, 1]]},
+        batch_size=8, test_batch_size=8, base_lr=0.1,
+        step=[100], num_epoch=1, nesterov=True, device_guard=False,
+        **kw)
+
+
+def test_trainer_shard_time_end_to_end(tmp_path):
+    """Trainer with shard_time: T sharded over the 'model' mesh axis in
+    real training + eval (the integrated sequence-parallel mode)."""
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    # T=48: T_local 24 per 2-way shard, >= MAX_SHIFT+1 after stride 2
+    cfg = _mesh_cfg(tmp_path, "seqpar_smoke", t=48,
+                    mesh_shape=[4, 2], shard_time=True)
+    tr = Trainer(cfg)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+    acc = tr.evaluate(0)
+    assert 0.0 <= acc <= 1.0
+
+
+def test_trainer_tensor_parallel_shards_params(tmp_path):
+    """Trainer with a (4, 2) mesh and no shard_time: the TP rules shard
+    Linear_weight over 'model' in the actual training state."""
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    cfg = _mesh_cfg(tmp_path, "tp_smoke", t=16, mesh_shape=[4, 2])
+    tr = Trainer(cfg)
+    lw = tr.state.params["l1"]["gcn1"]["Linear_weight"]
+    assert not lw.sharding.is_fully_replicated
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+    lw = tr.state.params["l1"]["gcn1"]["Linear_weight"]
+    assert not lw.sharding.is_fully_replicated  # survives the step
+    acc = tr.evaluate(0)
+    assert 0.0 <= acc <= 1.0
+
+
 def test_batch_size_must_divide_mesh(tmp_path):
     import jax
     from shift_gcn_tpu.train.config import ExperimentConfig
