@@ -36,10 +36,12 @@ def main() -> None:
                         "'float32' for the exact-reference-precision path")
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
-                                 "fourstream"],
+                                 "edges", "fourstream"],
                         help="train step clips/s (default), eval clips/s, "
                         "sparse-aggregation edges/s, data-parallel "
-                        "scaling efficiency across the local mesh, or "
+                        "scaling efficiency across the local mesh, "
+                        "edge-partitioned aggregation scaling "
+                        "(edges/s over 1..N devices), or "
                         "concurrent four-stream training stream-clips/s")
     args = parser.parse_args()
     if args.activation_dtype in ("float32", "fp32", "none", ""):
@@ -50,7 +52,14 @@ def main() -> None:
     if args.smoke:
         # --smoke is the quick correctness check: run it on host CPU so it
         # never waits on the remote TPU compile helper (TPU hardware smoke
-        # is a separate step; see .claude/skills/verify)
+        # is a separate step; see .claude/skills/verify).  Virtual devices
+        # let the scaling/edges modes exercise real mesh code paths.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -64,6 +73,9 @@ def main() -> None:
         return
     if args.mode == "scaling":
         _bench_scaling(args)
+        return
+    if args.mode == "edges":
+        _bench_edges(args)
         return
     if args.mode == "fourstream":
         _bench_fourstream(args)
@@ -380,6 +392,64 @@ def _bench_fourstream(args):
         "value": round(stream_clips, 2),
         "unit": "stream-clips/s",
         "vs_baseline": round(stream_clips / 47.0, 2),
+    }))
+
+
+def _bench_edges(args):
+    """North-star measurement (BASELINE.json): edges/s of the
+    edge-partitioned aggregation, weak-scaled over 1..N local devices.
+
+    Many clips' skeleton graphs are batched into ONE block-diagonal sparse
+    problem (B disjoint copies of the NTU spatial graph -> B*E edges over
+    B*V nodes); the combined edge list is partitioned across the mesh and
+    each device segment-sums its slice + psums partials
+    (parallel/edge_partition.py).  Weak scaling: clips (and so edges)
+    grow with the device count, per-device edge work held constant.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from shift_gcn_tpu.graphs import NTU_RGB_D
+    from shift_gcn_tpu.parallel.edge_partition import make_sharded_aggregator
+
+    devices = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8) if s <= len(devices)]
+    per_dev_clips = 16 if args.smoke else 512
+    c = 16 if args.smoke else 64
+    graph = NTU_RGB_D
+    coo = graph.coo()
+    v = graph.num_nodes
+    e = len(coo["src"])
+    rng = np.random.default_rng(0)
+
+    eps = {}
+    for n in sizes:
+        b = per_dev_clips * n
+        # block-diagonal batched graph: clip i's copy occupies nodes
+        # [i*V, (i+1)*V)
+        off = (np.arange(b, dtype=np.int64)[:, None] * v)
+        edges = {
+            "src": (coo["src"][None, :] + off).reshape(-1).astype(np.int32),
+            "dst": (coo["dst"][None, :] + off).reshape(-1).astype(np.int32),
+            "weight": np.tile(coo["weight"], b).astype(np.float32),
+        }
+        mesh = Mesh(np.asarray(devices[:n]), ("model",))
+        agg = make_sharded_aggregator(edges, b * v, mesh, "model")
+        x = rng.standard_normal((1, b * v, c)).astype(np.float32)
+        import jax.numpy as jnp
+
+        xd = jnp.asarray(x)
+        dt = _timeit(agg, xd, steps=max(3, args.steps // 2))
+        eps[n] = b * e / dt
+
+    top = sizes[-1]
+    efficiency = eps[top] / (eps[sizes[0]] * top)
+    print(json.dumps({
+        "metric": f"edge_scaling_efficiency_{top}x",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "vs_baseline": round(efficiency / 0.85, 2),
+        "edges_per_sec": {str(k): round(val, 0) for k, val in eps.items()},
     }))
 
 

@@ -1,0 +1,50 @@
+"""bench.py mode smoke tests: every mode must run on CPU (--smoke forces
+the cpu platform + 8 virtual devices) and print one parseable JSON line
+with the driver-contract keys."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(*extra):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # bench --smoke sets its own device count
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--smoke", *extra],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, out.stdout
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_train_mode_contract():
+    rec = _run_bench()
+    assert rec["metric"] == "train_clips_per_sec"
+    assert rec["value"] > 0 and rec["unit"] == "clips/s"
+    assert set(rec["roofline"]) == {
+        "model_gflops_per_clip", "mfu", "hbm_gb_per_step_lower_bound",
+        "bandwidth_util"}
+    assert 0 <= rec["roofline"]["mfu"] <= 1
+
+
+@pytest.mark.slow
+def test_scaling_mode_runs_on_virtual_mesh():
+    rec = _run_bench("--mode", "scaling", "--steps", "3")
+    assert rec["metric"].startswith("dp_scaling_efficiency")
+    assert rec["value"] > 0
+
+
+@pytest.mark.slow
+def test_edges_mode_reports_scaling():
+    rec = _run_bench("--mode", "edges", "--steps", "4")
+    assert rec["metric"].startswith("edge_scaling_efficiency")
+    assert rec["value"] > 0
+    assert "1" in rec["edges_per_sec"]
