@@ -188,9 +188,9 @@ def _roofline(config, t: int, batch_size: int, step_seconds: float,
         flops += 2.0 * 2 * t_cur * v * cout            # 2 shifts, O(T V C)
         acts += 6.0 * t_cur * v * cout                 # per-op outputs
         t_cur //= spec.stride
-    flops += 2.0 * config.blocks[-1].out_channels * config.num_class
-    flops *= m
+    flops *= m   # blocks run per person; the classifier (below) does not
     acts *= m
+    flops += 2.0 * config.blocks[-1].out_channels * config.num_class
     if train:
         flops *= 3.0  # fwd + ~2x bwd
     # param traffic: read in fwd + read in bwd + grad write + 2x optimizer

@@ -296,7 +296,11 @@ def gendata_label_map(
     a warning.  Output: {part_}data_joint.npy / {part_}label.pkl.
     """
     backend = backend or get_backend()
-    if split_file and os.path.exists(split_file):
+    if split_file:
+        # a typo'd split path must NOT silently fall back to "every video
+        # in the directory" (that would leak val videos into train)
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(f"split file not found: {split_file}")
         with open(split_file) as f:
             names = [line.strip() for line in f if line.strip()]
         files = [os.path.join(video_dir, n) for n in names]
@@ -308,6 +312,7 @@ def gendata_label_map(
     videos: List[Tuple[str, int]] = []
     for path in files:
         if not os.path.isfile(path):
+            print(f"Warning: listed video not found, skipping: {path}")
             continue
         label = resolve_label(path, label_map)
         if label is None:

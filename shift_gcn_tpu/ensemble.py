@@ -115,12 +115,19 @@ def run_ensemble(
     the CLI wrapper handles presentation)."""
     names, labels = load_labels(label_path)
     score_dicts = [load_scores(p) for p in score_paths]
-    try:
-        scores = ensemble_scores(score_dicts, names, alpha)
-    except KeyError:
-        # NTU pkls keyed by something other than sample name: fall back to
-        # the reference's index-keyed fusion (ensemble.py:18-27)
+    name_set = set(names)
+    if all(name_set.isdisjoint(d) for d in score_dicts):
+        # NTU pkls keyed by something other than sample name (ZERO keys
+        # match): use the reference's index-keyed fusion (ensemble.py:18-27).
+        # Partial overlap stays a loud KeyError below — silent positional
+        # fusion there could misalign streams against the labels.
         scores = ensemble_scores_by_index(score_dicts, alpha)
+        if scores.shape[0] != len(names):
+            raise ValueError(
+                f"index-keyed fusion: {scores.shape[0]} scores vs "
+                f"{len(names)} labels")
+    else:
+        scores = ensemble_scores(score_dicts, names, alpha)
     preds = scores.argmax(axis=1)
     num_class = scores.shape[1]
     result: Dict[str, object] = {

@@ -16,22 +16,37 @@ from typing import Dict, Optional
 
 
 def resolve_checkpoints(path: str):
-    """A user-picked directory -> pipeline checkpoint arguments.
+    """A user-picked path -> pipeline checkpoint arguments.
 
     Returns (checkpoints_dict, fourstream_path): auto-detect per-modality
-    run dirs / reference .pt files under the root; if the directory is
-    itself a single run dir (or a fourstream run), use it directly.
+    run dirs / reference .pt files under a save root; a single run dir
+    (or a fourstream run), a concrete Orbax step dir, and a reference
+    .pt/.pkl file are all used directly.
     """
     from shift_gcn_tpu.inference.pipeline import auto_detect_checkpoints
     from shift_gcn_tpu.utils.checkpoint import latest_checkpoint
 
+    def is_fourstream(p: str) -> bool:
+        return "fourstream" in os.path.basename(os.path.normpath(p)).lower()
+
+    # a reference torch weights file, used directly (EnsemblePredictor
+    # imports .pt/.pkl/.pth itself)
+    if os.path.isfile(path) and path.endswith((".pt", ".pkl", ".pth")):
+        return {"joint": path}, None
+    # a concrete Orbax step dir (digit-named) — the pipeline loader
+    # accepts it verbatim
+    if os.path.isdir(path) and os.path.basename(
+            os.path.normpath(path)).isdigit():
+        parent = os.path.dirname(os.path.normpath(path))
+        if is_fourstream(parent):
+            return None, path
+        return {"joint": path}, None
     found = auto_detect_checkpoints(path)
     if found:
         return found, None
     latest = latest_checkpoint(path)
     if latest:
-        if "fourstream" in os.path.basename(
-                os.path.normpath(path)).lower():
+        if is_fourstream(path):
             return None, latest
         return {"joint": latest}, None
     return None, None

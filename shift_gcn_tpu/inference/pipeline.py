@@ -280,13 +280,18 @@ def auto_detect_checkpoints(save_dir: str) -> Dict[str, str]:
         return found
     entries = sorted(os.listdir(save_dir))
     for modality in MODALITY_ORDER:
+        # across ALL matching run dirs, take the highest step (reference
+        # semantics: max epoch across candidates)
+        best_step = -1
         for entry in entries:
             full = os.path.join(save_dir, entry)
             if os.path.isdir(full) and has_modality(entry, modality):
                 latest = latest_checkpoint(full)
                 if latest:
-                    found[modality] = latest
-                    break
+                    step = int(os.path.basename(latest))
+                    if step > best_step:
+                        best_step = step
+                        found[modality] = latest
         if modality in found:
             continue
         pts = [p for p in _glob.glob(os.path.join(save_dir, "*.pt"))

@@ -37,6 +37,7 @@ def _stgcn_config(model_args: Dict[str, Any]):
         graph=graph.name,
         in_channels=model_args.get("in_channels", 3),
         adaptive=model_args.get("adaptive", True),
+        adaptive_embed=model_args.get("adaptive_embed", 0),
         **kwargs,
     )
 

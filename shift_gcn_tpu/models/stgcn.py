@@ -42,7 +42,13 @@ class STGCNConfig:
     channels: Tuple[int, ...] = (64, 64, 64, 128, 128, 256, 256)
     strides: Tuple[int, ...] = (1, 1, 1, 2, 1, 2, 1)
     temporal_kernel: int = 9
-    adaptive: bool = True   # learnable residual adjacency (AGCN-style)
+    adaptive: bool = True   # learnable residual adjacency (AGCN-style B)
+    # data-dependent adjacency (2s-AGCN-style C): per-subset theta/phi
+    # embeddings of this width produce per-sample (V, V) attention via a
+    # dense SDDMM + softmax (ops/aggregate.sddmm_dense lineage); 0 = off.
+    # The reference Shift-GCN repo descends from 2s-AGCN and carries its
+    # unused A buffers (model/shift_gcn.py:78) — this closes that loop.
+    adaptive_embed: int = 0
 
 
 def init_params(key: jax.Array, config: STGCNConfig) -> Tuple[Params, State]:
@@ -76,6 +82,15 @@ def init_params(key: jax.Array, config: STGCNConfig) -> Tuple[Params, State]:
         }
         if config.adaptive:
             block["B"] = jnp.zeros((k_sub, v, v), jnp.float32)
+        if config.adaptive_embed:
+            d_e = config.adaptive_embed
+            kt_, kp_ = jax.random.split(kr, 2)
+            # small init: the data-dependent term starts as a gentle
+            # perturbation of A (+ B), like 2s-AGCN's 1x1-conv embeddings
+            block["theta"] = jax.random.normal(
+                kt_, (k_sub, cin, d_e), jnp.float32) * math.sqrt(1.0 / cin)
+            block["phi"] = jax.random.normal(
+                kp_, (k_sub, cin, d_e), jnp.float32) * math.sqrt(1.0 / cin)
         bn1_p, bn1_s = init_bn(cout)
         bn2_p, bn2_s = init_bn(cout)
         block["bn1"] = bn1_p
@@ -103,6 +118,27 @@ def init_params(key: jax.Array, config: STGCNConfig) -> Tuple[Params, State]:
         "bias": jnp.zeros((config.num_class,), jnp.float32),
     }
     return params, state
+
+
+def adaptive_attention(x: jax.Array, theta: jax.Array,
+                       phi: jax.Array) -> jax.Array:
+    """Per-sample data-dependent adjacency (2s-AGCN's C matrix).
+
+    x: (N, T, V, C); theta/phi: (K, C, d).  Embeds every (t, v) node,
+    contracts over (T, d) into per-sample (V, V) scores — a dense SDDMM
+    over the complete graph (V <= 33, so the full product is one small
+    MXU matmul) — and row-softmaxes into attention weights.
+
+    Returns (K, N, V, V).
+    """
+    a = jnp.einsum("ntvc,kcd->knvtd", x, theta,
+                   preferred_element_type=jnp.float32)
+    b = jnp.einsum("ntuc,kcd->knutd", x, phi,
+                   preferred_element_type=jnp.float32)
+    t = x.shape[1]
+    scores = jnp.einsum("knvtd,knutd->knvu", a, b,
+                        preferred_element_type=jnp.float32) / t
+    return jax.nn.softmax(scores, axis=-1)
 
 
 def _block(params, state, x, stride, adj_base, *, training, axis_name,
@@ -135,6 +171,15 @@ def _block(params, state, x, stride, adj_base, *, training, axis_name,
         # fixed topology + learnable residual adjacency (AGCN-style)
         adj = adj_base if "B" not in params else adj_base + params["B"]
         h = dense_graph_aggregate(x, adj, params["gcn_weight"])
+    if "theta" in params:
+        # data-dependent attention term (dense, per-sample): computed
+        # densely in BOTH the dense and edge-partitioned paths, so
+        # edge-partitioned training stays exactly equal to dense
+        attn = adaptive_attention(x, params["theta"], params["phi"])
+        hk2 = jnp.einsum("...uc,kcd->k...ud", x, params["gcn_weight"],
+                         preferred_element_type=jnp.float32)
+        h = h + jnp.einsum("knvu,kntud->ntvd", attn, hk2,
+                           preferred_element_type=jnp.float32)
     h = h + params["gcn_bias"]
     h, bn1_state = batch_norm(
         h, params["bn1"], state["bn1"], reduce_axes=(0, 1, 2),

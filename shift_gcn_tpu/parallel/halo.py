@@ -148,11 +148,16 @@ def sharded_temporal_shift_train(
 
     Used inside a shard_map whose mesh axes are exactly
     ``batch_axes + (axis_name,)`` with the position parameters replicated
-    (in_spec P()).  The ypos cotangent returned per device is the global
-    constraint value divided by the total device count, so the outer
-    shard_map transpose (psum of replicated-input cotangents over all mesh
-    axes) reconstructs exactly +-0.01 / 1e-4 — matching the unsharded
-    `temporal_shift` VJP (reference: shift_cuda_kernel.cu:370-395).
+    (in_spec P()).  The backward reduces the corner-difference inner
+    product over the GLOBAL (batch, time) extent (psum over the time
+    axis, pmean over the batch axes) before applying the constraint, so
+    the ypos cotangent is the exact +-0.01 / 1e-4 value, identical on
+    every device.  JAX's VMA-aware shard_map AD passes such
+    device-invariant cotangents of replicated inputs through UNSCALED (no
+    extra psum — verified by the equality tests in tests/test_parallel.py
+    against the unsharded `temporal_shift` VJP; reference semantics:
+    shift_cuda_kernel.cu:370-395).  Do not pre-divide by the device
+    count.
     """
     ypos_eff = ypos if stride == 1 else ypos + 0.5
     taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)

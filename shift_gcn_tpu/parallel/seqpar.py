@@ -16,9 +16,12 @@ the unsharded `train.state.make_train_step` on the 8-device CPU mesh
 nn.DataParallel (main.py:294-299), here for sequence parallelism the
 reference cannot express.
 
-Shape requirements: T divisible by (time shards x product of block
-strides), T_local >= MAX_SHIFT + 1 at every block (for T=300-class inputs
-and 2-4 way sharding this always holds).
+Shape requirements (validated at trace time): T divisible by the time
+shard count, every shard's running T_local divisible by each stride-2
+block's stride, and T_local >= MAX_SHIFT + 1 at every block.  The
+reference T=300 does NOT shard cleanly under the default backbone
+(2-way: 150 -> 75 local is odd at the second stride-2 block); pad clips
+to T=304 (2-way) or T=320 (4-way).
 """
 
 from __future__ import annotations
@@ -30,8 +33,35 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from shift_gcn_tpu.models import shift_gcn
+from shift_gcn_tpu.ops.temporal_shift import MAX_SHIFT
 from shift_gcn_tpu.train.optim import sgd_update
 from shift_gcn_tpu.train.state import TrainState, cross_entropy
+
+
+def validate_time_sharding(config, t: int, n_shards: int) -> None:
+    """Reject shapes where local stride-2 downsampling would diverge from
+    the unsharded model (floor drops / phase-shifted sampling): T must
+    split evenly, every shard's running T_local must stay divisible by
+    each block's stride, and each block needs MAX_SHIFT+1 frames per
+    shard for the single-hop halo."""
+    if t % n_shards != 0:
+        raise ValueError(
+            f"shard_time: T={t} is not divisible by {n_shards} time shards")
+    t_local = t // n_shards
+    for i, spec in enumerate(config.blocks):
+        if t_local < MAX_SHIFT + 1:
+            raise ValueError(
+                f"shard_time: block l{i + 1} sees T_local={t_local} < "
+                f"MAX_SHIFT+1={MAX_SHIFT + 1}; use fewer shards, a longer "
+                "T, or lower SGT_MAX_SHIFT")
+        if t_local % spec.stride != 0:
+            raise ValueError(
+                f"shard_time: block l{i + 1} (stride {spec.stride}) sees "
+                f"T_local={t_local}, which is not divisible — the local "
+                "downsample would drop frames and diverge from the "
+                "unsharded model; pad T so T/shards stays divisible by "
+                "every stride product")
+        t_local //= spec.stride
 
 
 def make_time_sharded_train_step(
@@ -52,6 +82,9 @@ def make_time_sharded_train_step(
     data_spec = P(batch_axis, None, time_axis)  # (N, C, T, V, M)
 
     def sharded_apply(params, bn_state, data):
+        validate_time_sharding(config, data.shape[2],
+                               mesh.shape[time_axis])
+
         def inner(p, s, d):
             return model_apply(p, s, d, config, training=True,
                                axis_name=bn_axes, time_axis=time_axis)
@@ -104,6 +137,9 @@ def make_time_sharded_eval_step(
     data_spec = P(batch_axis, None, time_axis)
 
     def eval_step(params, bn_state, batch):
+        validate_time_sharding(config, batch["data"].shape[2],
+                               mesh.shape[time_axis])
+
         def inner(p, s, d):
             logits, _ = model_apply(p, s, d, config, training=False,
                                     time_axis=time_axis)

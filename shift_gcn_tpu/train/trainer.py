@@ -153,12 +153,21 @@ class Trainer:
         elif self.cfg.shard_time:
             # sequence parallelism: T sharded over the 'model' mesh axis,
             # batch over 'data', inside one shard_map program
+            import inspect
+
             from shift_gcn_tpu.parallel import seqpar
 
             if self.mesh.shape["model"] < 2:
                 raise ValueError(
                     "shard_time needs mesh_shape [data, model] with "
                     "model >= 2 (the 'model' axis carries the T shards)")
+            apply_params = inspect.signature(
+                self.family.apply).parameters
+            if "time_axis" not in apply_params:
+                raise ValueError(
+                    f"shard_time is not supported by model family "
+                    f"{self.cfg.model!r} (its apply() has no time_axis "
+                    "parameter)")
             train_step = seqpar.make_time_sharded_train_step(
                 self.model_config, self.wd_tree, self.mesh,
                 batch_axis="data", time_axis="model",

@@ -238,3 +238,24 @@ class TestEnsemble:
 
         with pytest.raises(ValueError, match="disagree"):
             ensemble_scores_by_index([{"a": 1}, {}], alpha=(0.5, 0.5))
+
+    def test_partial_name_overlap_raises(self, tmp_path):
+        """Index fallback fires only on FULLY disjoint keys: a partial
+        name mismatch (e.g. one stale stream) must stay a loud error,
+        never silent positional fusion."""
+        from shift_gcn_tpu.ensemble import run_ensemble
+
+        names = ["a", "b"]
+        good = {"a": np.ones(2), "b": np.ones(2)}
+        stale = {"a": np.ones(2), "WRONG": np.ones(2)}
+        paths = []
+        for i, d in enumerate((good, stale)):
+            p = tmp_path / f"p{i}.pkl"
+            with open(p, "wb") as f:
+                pickle.dump(d, f)
+            paths.append(str(p))
+        with open(tmp_path / "label.pkl", "wb") as f:
+            pickle.dump((names, [0, 1]), f)
+        with pytest.raises(KeyError):
+            run_ensemble(str(tmp_path / "label.pkl"), paths,
+                         alpha=(0.5, 0.5))

@@ -167,6 +167,14 @@ def test_label_map_mode_with_fake_backend(tmp_path):
     assert tdata.shape == (2, 3, 16, 33, 1)
     assert tlabels == [1, 0]
 
+    # a typo'd split path must raise, not extract the whole directory
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="split file"):
+        mp_gen.gendata_label_map(
+            str(video_dir), str(out), label_map,
+            split_file=str(tmp_path / "nope.txt"), backend=fake_backend)
+
 
 def test_label_map_cli(tmp_path):
     from shift_gcn_tpu.data.gendata import mediapipe as mp_gen

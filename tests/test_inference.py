@@ -121,6 +121,13 @@ def test_auto_detect_checkpoints_both_layouts(tmp_path):
     assert found["bone_motion"].endswith("-60-1500.pt")
     # empty/missing root -> empty dict
     assert auto_detect_checkpoints(str(tmp_path / "nope")) == {}
+    # two runs for one modality: the HIGHEST STEP wins, not the
+    # alphabetically-first experiment dir
+    d = root / "zz_newer_joint" / "9"
+    d.mkdir(parents=True)
+    (d / "dummy").touch()
+    found = auto_detect_checkpoints(str(root))
+    assert found["joint"].endswith(os.path.join("zz_newer_joint", "9"))
 
 
 def _write_test_video(path, n_frames=20, w=64, h=48):
@@ -201,3 +208,11 @@ def test_gui_resolve_checkpoints(tmp_path, tiny_checkpoints):
     shutil.copytree(single, fs_dir)
     ckpts, fourstream = resolve_checkpoints(str(fs_dir))
     assert ckpts is None and fourstream is not None
+
+    # a concrete Orbax step dir and a reference .pt file pass through
+    ckpts, fourstream = resolve_checkpoints(paths["joint"])
+    assert fourstream is None and ckpts == {"joint": paths["joint"]}
+    pt = tmp_path / "model_joint-40-1000.pt"
+    pt.touch()
+    ckpts, fourstream = resolve_checkpoints(str(pt))
+    assert fourstream is None and ckpts == {"joint": str(pt)}

@@ -289,6 +289,24 @@ class TestTimeShardedTrainStep:
             mags, 1e-4, atol=1e-7)
         assert ok.all(), mags
 
+    def test_rejects_stride_incompatible_sharding(self):
+        """T=300 4-way sharded hits an odd T_local at the stride-2 block:
+        must raise instead of silently dropping/phase-shifting frames."""
+        from shift_gcn_tpu.models.shift_gcn import ModelConfig
+        from shift_gcn_tpu.parallel.seqpar import validate_time_sharding
+
+        full = ModelConfig(num_class=2, num_point=33, num_person=1,
+                           graph="mediapipe_pose")
+        with pytest.raises(ValueError, match="not divisible"):
+            validate_time_sharding(full, 300, 2)  # 75 local odd at l8
+        with pytest.raises(ValueError, match="time shards"):
+            validate_time_sharding(full, 300, 8)  # 300 % 8 != 0
+        validate_time_sharding(full, 304, 2)     # 152 -> 76 -> 38: ok
+        validate_time_sharding(full, 320, 4)     # 80 -> 40 -> 20: ok
+        small = _small_config()
+        with pytest.raises(ValueError, match="MAX_SHIFT"):
+            validate_time_sharding(small, 32, 4)  # 8 local < MAX_SHIFT+1
+
     def test_eval_step_matches_unsharded(self):
         from shift_gcn_tpu.parallel.seqpar import (
             make_time_sharded_eval_step)

@@ -176,6 +176,21 @@ def test_trainer_tensor_parallel_shards_params(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_trainer_shard_time_rejects_unsupported_family(tmp_path):
+    """stgcn's apply has no time_axis: the Trainer must refuse at build
+    time, not TypeError mid-trace."""
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    cfg = _mesh_cfg(tmp_path, "seqpar_bad_family", t=48,
+                    mesh_shape=[4, 2], shard_time=True)
+    cfg.model = "stgcn"
+    cfg.model_args = {"num_class": 2, "num_point": 25, "num_person": 1,
+                      "graph": "ntu_rgb_d", "channels": [8, 16],
+                      "strides": [1, 2]}
+    with pytest.raises(ValueError, match="time_axis"):
+        Trainer(cfg)
+
+
 def test_batch_size_must_divide_mesh(tmp_path):
     import jax
     from shift_gcn_tpu.train.config import ExperimentConfig
