@@ -44,7 +44,13 @@ class Feeder:
         use_mmap: bool = True,
         native: bool = False,
         native_threads: int = 4,
+        pad_to_frames: int = 0,
     ):
+        """``pad_to_frames``: zero-pad every clip's time axis up to this
+        length (after any window/augmentation).  Clips are already
+        zero-padded to T=300 by gendata, so trailing zeros are in-family
+        with the data convention; use e.g. 304/320 to satisfy
+        `shard_time`'s divisibility requirement (parallel/seqpar.py)."""
         self.data_path = data_path
         self.label_path = label_path
         self.random_choose = random_choose
@@ -52,6 +58,7 @@ class Feeder:
         self.random_move = random_move
         self.window_size = window_size
         self.normalization = normalization
+        self.pad_to_frames = pad_to_frames
 
         with open(label_path, "rb") as f:
             try:
@@ -88,7 +95,8 @@ class Feeder:
         return (self.native_loader is not None
                 and not (self.normalization or self.random_shift
                          or self.random_choose or self.random_move
-                         or self.window_size > 0))
+                         or self.window_size > 0
+                         or self.pad_to_frames > 0))
 
     def _compute_mean_map(self) -> None:
         # reference: feeders/feeder.py:62-66
@@ -116,6 +124,12 @@ class Feeder:
             sample = aug.auto_pad(sample, self.window_size)
         if self.random_move and rng is not None:
             sample = aug.random_move(sample, rng)
+        if self.pad_to_frames > sample.shape[1]:
+            pad = self.pad_to_frames - sample.shape[1]
+            sample = np.concatenate(
+                [sample,
+                 np.zeros((sample.shape[0], pad) + sample.shape[2:],
+                          sample.dtype)], axis=1)
         return sample.astype(np.float32)
 
     def top_k(self, score: np.ndarray, k: int) -> float:

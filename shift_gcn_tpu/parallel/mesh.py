@@ -41,11 +41,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch dict with the batch axis sharded on 'data'."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, sharding), batch)
+def shard_batch(mesh: Mesh, batch, specs=None):
+    """Device-put a host batch dict with the batch axis sharded on 'data'.
+
+    ``specs``: optional per-key PartitionSpec overrides (e.g. the
+    sequence-parallel trainer places 'data' as P('data', None, 'model')
+    so the transfer lands already T-sharded instead of paying a per-step
+    reshard inside the jit).
+    """
+    default = batch_sharding(mesh)
+    if specs is None:
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, default), batch)
+    return {
+        k: jax.device_put(
+            v, NamedSharding(mesh, specs[k]) if k in specs else default)
+        for k, v in batch.items()
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -183,6 +183,13 @@ class Trainer:
                 self.model_config, apply_fn=self.family.apply)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
+        # sequence parallelism: transfer batches directly into the
+        # T-sharded layout (no per-step reshard inside the jit)
+        from jax.sharding import PartitionSpec as P
+
+        self._batch_specs = (
+            {"data": P("data", None, "model")} if self.cfg.shard_time
+            else None)
         if self.mesh.shape["model"] > 1 and not self.cfg.shard_time:
             # tensor parallelism: commit the state to the TP shardings
             # (Linear_weight / temporal_linear output channels over
@@ -315,7 +322,7 @@ class Trainer:
                 data, label, index, mask = next(it_epoch)
             except StopIteration:
                 return None
-            return mesh_lib.shard_batch(self.mesh, {
+            return mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
                 "data": data.astype(np.float32),
                 "label": label,
             })
@@ -403,7 +410,7 @@ class Trainer:
         pending_out = []
         try:
             for data, label, index, mask in it.epoch(0):
-                batch = mesh_lib.shard_batch(self.mesh, {
+                batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
                     "data": data.astype(np.float32),
                     "label": label,
                     "mask": mask,
@@ -498,7 +505,7 @@ class Trainer:
         f_r = open(result_file, "w") if result_file else None
         try:
             for data, label, index, mask in it.epoch(0):
-                batch = mesh_lib.shard_batch(self.mesh, {
+                batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
                     "data": data.astype(np.float32),
                     "label": label,
                     "mask": mask,

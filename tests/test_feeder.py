@@ -56,6 +56,26 @@ def test_batch_content_matches_dataset(tmp_path):
     assert mask.all()
 
 
+def test_pad_to_frames(tmp_path):
+    """pad_to_frames zero-extends the time axis — the knob that makes
+    T=300 data satisfy shard_time's divisibility (pad to 304/320)."""
+    rng = np.random.default_rng(2)
+    data = rng.standard_normal((4, 3, 10, 5, 1)).astype(np.float32)
+    np.save(tmp_path / "d.npy", data)
+    with open(tmp_path / "l.pkl", "wb") as f:
+        pickle.dump((["a", "b", "c", "d"], [0, 1, 0, 1]), f)
+    feeder = Feeder(data_path=str(tmp_path / "d.npy"),
+                    label_path=str(tmp_path / "l.pkl"), pad_to_frames=16)
+    clip = feeder.get(0)
+    assert clip.shape == (3, 16, 5, 1)
+    np.testing.assert_array_equal(clip[:, :10], data[0])
+    np.testing.assert_array_equal(clip[:, 10:], 0)
+    # no-op when already long enough
+    feeder2 = Feeder(data_path=str(tmp_path / "d.npy"),
+                     label_path=str(tmp_path / "l.pkl"), pad_to_frames=8)
+    assert feeder2.get(0).shape == (3, 10, 5, 1)
+
+
 def test_window_padding_applied(tmp_path):
     rng = np.random.default_rng(1)
     data = rng.standard_normal((4, 3, 7, 5, 1)).astype(np.float32)

@@ -176,6 +176,21 @@ def test_trainer_tensor_parallel_shards_params(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_trainer_shard_time_with_feeder_padding(tmp_path):
+    """pad_to_frames makes stride-incompatible raw T usable under
+    shard_time: clips stored at T=44 are padded to 48 by the feeder and
+    the sequence-parallel trainer runs end to end."""
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    cfg = _mesh_cfg(tmp_path, "seqpar_padded", t=44,
+                    mesh_shape=[4, 2], shard_time=True)
+    cfg.train_feeder_args["pad_to_frames"] = 48
+    cfg.test_feeder_args["pad_to_frames"] = 48
+    tr = Trainer(cfg)
+    stats = tr.train_epoch(0)
+    assert np.isfinite(stats["loss"])
+
+
 def test_trainer_shard_time_rejects_unsupported_family(tmp_path):
     """stgcn's apply has no time_axis: the Trainer must refuse at build
     time, not TypeError mid-trace."""
