@@ -34,6 +34,11 @@ def main() -> None:
                         "params/BN-stats/optimizer fp32, +30%% train "
                         "throughput, convergence-parity-tested) or "
                         "'float32' for the exact-reference-precision path")
+    parser.add_argument("--strategy", default="gather",
+                        choices=["gather", "ring"],
+                        help="edge-partition exchange strategy for "
+                        "--mode edges (gather: replicated nodes + psum; "
+                        "ring: sharded nodes + ppermute pipeline)")
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
                                  "edges", "fourstream"],
@@ -434,7 +439,8 @@ def _bench_edges(args):
             "weight": np.tile(coo["weight"], b).astype(np.float32),
         }
         mesh = Mesh(np.asarray(devices[:n]), ("model",))
-        agg = make_sharded_aggregator(edges, b * v, mesh, "model")
+        agg = make_sharded_aggregator(edges, b * v, mesh, "model",
+                                      strategy=args.strategy)
         x = rng.standard_normal((1, b * v, c)).astype(np.float32)
         import jax.numpy as jnp
 
@@ -449,6 +455,7 @@ def _bench_edges(args):
         "value": round(efficiency, 3),
         "unit": "fraction",
         "vs_baseline": round(efficiency / 0.85, 2),
+        "strategy": args.strategy,
         "edges_per_sec": {str(k): round(val, 0) for k, val in eps.items()},
     }))
 

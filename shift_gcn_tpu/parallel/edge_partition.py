@@ -10,11 +10,17 @@ With V = 25/33 the per-graph work is tiny, so the batched layout is
 device owns a contiguous slice of the edge list (static shapes).  Two
 exchange strategies:
 
-- `gather`: all_gather the (small) node features along the axis, aggregate
-  owned edges locally, psum-scatter partial destination sums.  Optimal when
-  V*C per graph is small (our regime — the all_gather is latency-bound and
-  overlaps with the local segment-sum).
-- future: a ppermute ring for huge graphs where boundary sets are sparse.
+- `gather`: node features replicated along the axis, aggregate owned
+  edges locally, psum partial destination sums.  Optimal when V*C per
+  graph is small (our regime — the psum is latency-bound and overlaps
+  with the local segment-sum).
+- `ring`: node features SHARDED along the axis; each device owns the
+  edges whose destinations live in its node shard, bucketed by source
+  shard.  P-1 `ppermute` steps rotate the node blocks around the ring
+  while each device aggregates the bucket whose sources just arrived —
+  boundary-feature exchange overlapped with local aggregation, O(V/P)
+  memory per device, no final psum.  The strategy for graphs too large
+  to replicate (big block-diagonal batched problems).
 
 All functions run inside `jax.shard_map` over `axis_name` with edges
 pre-partitioned by `partition_edges`.
@@ -66,6 +72,90 @@ def edge_partitioned_aggregate(
     partial = jax.ops.segment_sum(moved, dst, num_segments=num_nodes)
     partial = jnp.moveaxis(partial, 0, -2)                   # (B, V, C)
     return jax.lax.psum(partial, axis_name)
+
+
+def partition_edges_ring(
+    edges: Dict[str, np.ndarray],
+    num_partitions: int,
+    num_nodes: int,
+) -> Tuple[Dict[str, np.ndarray], int, int]:
+    """Bucket a COO edge list for the ring strategy.
+
+    Nodes are padded to V_pad = ceil(V / P) * P and split into P
+    contiguous shards of V_loc = V_pad / P.  Device p owns every edge
+    whose DST falls in its shard; its edges are bucketed by the source's
+    shard, arranged so bucket r holds the edges whose sources live on
+    shard (p + r) mod P — exactly the block that arrives on ring step r.
+
+    Returns ({src_local, dst_local, weight} of shape (P, P, E_max),
+    v_pad, v_loc).  Padded slots carry weight 0 and index 0.
+    """
+    p = num_partitions
+    v_loc = -(-num_nodes // p)
+    v_pad = v_loc * p
+    src = np.asarray(edges["src"], np.int64)
+    dst = np.asarray(edges["dst"], np.int64)
+    w = np.asarray(edges["weight"], np.float32)
+    owner = dst // v_loc
+    src_shard = src // v_loc
+    buckets = [[[] for _ in range(p)] for _ in range(p)]
+    for e in range(len(src)):
+        o = int(owner[e])
+        r = int((src_shard[e] - o) % p)
+        buckets[o][r].append(e)
+    e_max = max((len(b) for row in buckets for b in row), default=1) or 1
+    out = {
+        "src_local": np.zeros((p, p, e_max), np.int32),
+        "dst_local": np.zeros((p, p, e_max), np.int32),
+        "weight": np.zeros((p, p, e_max), np.float32),
+    }
+    for o in range(p):
+        for r in range(p):
+            idx = np.asarray(buckets[o][r], np.int64)
+            n = len(idx)
+            if not n:
+                continue
+            out["src_local"][o, r, :n] = src[idx] % v_loc
+            out["dst_local"][o, r, :n] = dst[idx] % v_loc
+            out["weight"][o, r, :n] = w[idx]
+    return out, v_pad, v_loc
+
+
+def ring_aggregate(
+    x_shard: jax.Array,
+    src_local: jax.Array,
+    dst_local: jax.Array,
+    weight: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """Ring-exchange edge aggregation (inside shard_map).
+
+    x_shard: this device's (B, V_loc, C) node block; src_local /
+    dst_local / weight: this device's (P, E_max) edge buckets from
+    `partition_edges_ring`.  On step r the buffer holds shard
+    (idx + r) mod P's features; the device aggregates bucket r into its
+    local accumulator while `ppermute` forwards the buffer to the left
+    neighbor — XLA overlaps the collective with the segment-sum.
+    Returns the (B, V_loc, C) aggregate for the local destinations
+    (already complete — no psum needed).
+    """
+    p = jax.lax.axis_size(axis_name)
+    v_loc = x_shard.shape[-2]
+    buf = x_shard
+    acc = jnp.zeros_like(x_shard)
+    for r in range(p):
+        gathered = jnp.take(buf, src_local[r], axis=-2)   # (B, E_max, C)
+        gathered = gathered * weight[r][:, None]
+        moved = jnp.moveaxis(gathered, -2, 0)             # (E_max, B, C)
+        partial = jax.ops.segment_sum(moved, dst_local[r],
+                                      num_segments=v_loc)
+        acc = acc + jnp.moveaxis(partial, 0, -2)
+        if r + 1 < p:
+            # forward the block: device i receives shard (i + r + 1)
+            buf = jax.lax.ppermute(
+                buf, axis_name,
+                [((i + 1) % p, i) for i in range(p)])
+    return acc
 
 
 def subset_coo_from_adjacency(adjacency: np.ndarray) -> Dict[str, np.ndarray]:
@@ -168,10 +258,47 @@ def make_sharded_aggregator(
     num_nodes: int,
     mesh,
     axis_name: str = "model",
+    strategy: str = "gather",
 ):
     """Build a jitted (B, V, C) -> (B, V, C) aggregator with the edge list
-    partitioned over `axis_name` of `mesh`."""
+    partitioned over `axis_name` of `mesh`.
+
+    strategy="gather": node features replicated, partial sums psummed.
+    strategy="ring": node features sharded over the axis too; P-1
+    ppermute steps exchange boundary blocks, overlapped with the local
+    segment-sums (see module docstring).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if strategy == "ring":
+        n_part = mesh.shape[axis_name]
+        parts, v_pad, v_loc = partition_edges_ring(
+            edges, n_part, num_nodes)
+        edge_sharding = NamedSharding(mesh, P(axis_name))
+        dev = {k: jax.device_put(v, edge_sharding)
+               for k, v in parts.items()}
+        x_spec = P(None, axis_name, None)
+
+        @jax.jit
+        def aggregate_ring(x):
+            b, v, c = x.shape
+            xp = jnp.pad(x, ((0, 0), (0, v_pad - v), (0, 0)))
+
+            def inner(xb, s, d, w):
+                return ring_aggregate(xb, s[0], d[0], w[0], axis_name)
+
+            out = jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(x_spec, P(axis_name), P(axis_name),
+                          P(axis_name)),
+                out_specs=x_spec,
+            )(xp, dev["src_local"], dev["dst_local"], dev["weight"])
+            return out[:, :num_nodes]
+
+        return aggregate_ring
+    if strategy != "gather":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     parts = partition_edges(edges, mesh.shape[axis_name])
     edge_sharding = NamedSharding(mesh, P(axis_name))

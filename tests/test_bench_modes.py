@@ -43,8 +43,11 @@ def test_scaling_mode_runs_on_virtual_mesh():
 
 
 @pytest.mark.slow
-def test_edges_mode_reports_scaling():
-    rec = _run_bench("--mode", "edges", "--steps", "4")
+@pytest.mark.parametrize("strategy", ["gather", "ring"])
+def test_edges_mode_reports_scaling(strategy):
+    rec = _run_bench("--mode", "edges", "--steps", "4",
+                     "--strategy", strategy)
     assert rec["metric"].startswith("edge_scaling_efficiency")
+    assert rec["strategy"] == strategy
     assert rec["value"] > 0
     assert "1" in rec["edges_per_sec"]

@@ -328,6 +328,70 @@ class TestTimeShardedTrainStep:
         np.testing.assert_allclose(float(lsum_g), float(lsum_w), atol=1e-4)
 
 
+class TestRingEdgePartition:
+    """Ring strategy: node features sharded over the axis, boundary
+    blocks exchanged by ppermute, no replication and no final psum."""
+
+    def _block_diagonal(self, b, graph):
+        coo = graph.coo()
+        v = graph.num_nodes
+        off = np.arange(b, dtype=np.int64)[:, None] * v
+        return {
+            "src": (coo["src"][None] + off).reshape(-1).astype(np.int32),
+            "dst": (coo["dst"][None] + off).reshape(-1).astype(np.int32),
+            "weight": np.tile(coo["weight"], b).astype(np.float32),
+        }, b * v
+
+    @pytest.mark.parametrize("n_dev", [4, 8])
+    def test_matches_dense_reference(self, n_dev):
+        graph = NTU_RGB_D
+        edges = graph.coo()
+        rng = np.random.default_rng(0)
+        b, v, c = 3, graph.num_nodes, 16
+        x = rng.standard_normal((b, v, c)).astype(np.float32)
+        want = np.asarray(edge_aggregate(
+            jnp.asarray(x),
+            {k: jnp.asarray(val) for k, val in edges.items()}, v))
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("model",))
+        agg = make_sharded_aggregator(edges, v, mesh, "model",
+                                      strategy="ring")
+        got = np.asarray(agg(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_block_diagonal_batched_graph(self):
+        """The production shape: many clips' graphs as one block-diagonal
+        problem, nodes and edges both sharded."""
+        graph = NTU_RGB_D
+        b = 6
+        edges, n_nodes = self._block_diagonal(b, graph)
+        rng = np.random.default_rng(1)
+        c = 8
+        x = rng.standard_normal((1, n_nodes, c)).astype(np.float32)
+        want = np.asarray(edge_aggregate(
+            jnp.asarray(x),
+            {k: jnp.asarray(v) for k, v in edges.items()}, n_nodes))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+        agg = make_sharded_aggregator(edges, n_nodes, mesh, "model",
+                                      strategy="ring")
+        got = np.asarray(agg(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_partitioner_buckets_by_arrival_step(self):
+        from shift_gcn_tpu.parallel.edge_partition import (
+            partition_edges_ring)
+
+        # 4 nodes over 2 shards; edge (src=3 -> dst=0) must sit in
+        # owner 0's bucket r=1 (shard 1's block arrives on step 1)
+        edges = {"src": np.array([3, 0]), "dst": np.array([0, 2]),
+                 "weight": np.array([2.0, 3.0], np.float32)}
+        parts, v_pad, v_loc = partition_edges_ring(edges, 2, 4)
+        assert (v_pad, v_loc) == (4, 2)
+        assert parts["weight"][0, 1, 0] == 2.0   # owner 0, step 1
+        assert parts["src_local"][0, 1, 0] == 1  # 3 % 2
+        assert parts["weight"][1, 1, 0] == 3.0   # dst 2 -> owner 1; src
+        assert parts["dst_local"][1, 1, 0] == 0  # shard 0 arrives step 1
+
+
 class TestEdgeShardedSTGCN:
     """North-star integration: the stgcn family trained with its graph
     aggregation edge-partitioned over the 'model' mesh axis matches the
