@@ -40,8 +40,17 @@ BNState = Dict[str, jax.Array]    # running_mean, running_var, num_batches_track
 # with activation_dtype=bfloat16 numerics (a, b are O(1), bf16 rel err
 # ~4e-3, same as every matmul operand on that path); no-op for fp32 x.
 # Read at trace time so tests/configs can toggle per-jit.
+#
+# Measured (scratch/bnlp_r2.log): SLOWER in training (the bf16 FMA breaks
+# XLA's BN+neighbor bwd fusions: 312 vs 348 clips/s) but +5% in eval
+# (1488 vs 1411) — so training defaults to the fp32 pass and EVAL
+# defaults to the bf16 pass (SGT_BN_LP_EVAL=0 restores fp32 eval).
 def _lp_normalize() -> bool:
     return _os.environ.get("SGT_BN_LP", "0") == "1"
+
+
+def _lp_normalize_eval() -> bool:
+    return _os.environ.get("SGT_BN_LP_EVAL", "1") != "0"
 
 
 def init_bn(num_features: int, scale: float = 1.0) -> Tuple[BNParams, BNState]:
@@ -94,7 +103,8 @@ def batch_norm(
         var = fs(var)
 
     inv = jax.lax.rsqrt(var + eps)
-    if x.dtype != jnp.float32 and _lp_normalize():
+    lp = _lp_normalize() if training else _lp_normalize_eval()
+    if x.dtype != jnp.float32 and lp:
         # bn(x) == x*a + b with fp32-derived coefficients, evaluated in the
         # activation dtype (skips the fp32 round-trip over the big tensor)
         a = inv * fs(params["weight"])

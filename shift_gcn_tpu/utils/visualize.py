@@ -37,15 +37,18 @@ def plot_adjacency(graph_name: str, save_path: Optional[str] = None):
 
 def animate_skeleton(
     clip: np.ndarray,
-    graph: SkeletonGraph,
+    graph: "SkeletonGraph | str",
     save_path: Optional[str] = None,
     fps: int = 25,
 ):
     """Animate one (C, T, V, M) clip as a 2D stick figure.
 
-    With save_path, writes an mp4/gif (matplotlib.animation); otherwise
-    opens an interactive window.
+    ``graph``: a SkeletonGraph or a registry name.  With save_path,
+    writes an mp4/gif (matplotlib.animation); otherwise opens an
+    interactive window.
     """
+    if isinstance(graph, str):
+        graph = get_graph(graph)
     import matplotlib
     if save_path:
         matplotlib.use("Agg")

@@ -99,6 +99,40 @@ def test_bn_lp_normalize_matches_fp32_path(monkeypatch):
                 np.asarray(want_state["running_var"]), atol=1e-7)
 
 
+def test_bn_lp_eval_default(monkeypatch):
+    """Eval-mode bf16 BN uses the low-precision normalize by default
+    (+7% eval throughput, scratch/bnlp_eval_r2.log); SGT_BN_LP_EVAL=0
+    restores the fp32 pass; training mode is unaffected by the eval
+    flag."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 6, 5, 8)).astype(np.float32)
+    params, state = init_bn(8)
+    state = dict(state, running_mean=jnp.asarray(
+        rng.standard_normal(8).astype(np.float32) * 0.1))
+
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got_default, _ = batch_norm(
+        xb, params, state, reduce_axes=(0, 1, 2), training=False)
+    monkeypatch.setenv("SGT_BN_LP_EVAL", "0")
+    got_fp32, _ = batch_norm(
+        xb, params, state, reduce_axes=(0, 1, 2), training=False)
+    monkeypatch.delenv("SGT_BN_LP_EVAL")
+    assert got_default.dtype == jnp.bfloat16
+    # same math within bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(got_default, np.float32),
+        np.asarray(got_fp32, np.float32), atol=0.05)
+    # training path ignores the eval flag (fp32 normalize unless SGT_BN_LP)
+    a, _ = batch_norm(xb, params, state, reduce_axes=(0, 1, 2),
+                      training=True)
+    monkeypatch.setenv("SGT_BN_LP_EVAL", "0")
+    b, _ = batch_norm(xb, params, state, reduce_axes=(0, 1, 2),
+                      training=True)
+    monkeypatch.delenv("SGT_BN_LP_EVAL")
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
 def test_bn_lp_normalize_fp32_passthrough(monkeypatch):
     monkeypatch.setenv("SGT_BN_LP", "1")
     rng = np.random.default_rng(4)
