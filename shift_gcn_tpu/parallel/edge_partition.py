@@ -194,6 +194,14 @@ def make_edge_sharded_train_step(
     BASELINE.json, integrated into a real training step.  Verified equal
     to the unsharded dense step (tests/test_parallel.py).
 
+    This trains with the `gather` strategy: skeleton graphs are tiny
+    (V = 25/33), so replicating node features along the edge axis is
+    free and the psum is the only traffic.  The `ring` strategy
+    (node-sharded, ppermute-pipelined — see `ring_aggregate`) is the
+    aggregation-layer escape hatch for graphs too large to replicate;
+    plugging it into a train step requires node-sharding the whole
+    model's activations, which these models never need.
+
     Same contract as train.state.make_train_step.
     """
     import jax.numpy as _jnp

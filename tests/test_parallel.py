@@ -307,6 +307,38 @@ class TestTimeShardedTrainStep:
         with pytest.raises(ValueError, match="MAX_SHIFT"):
             validate_time_sharding(small, 32, 4)  # 8 local < MAX_SHIFT+1
 
+    @pytest.mark.slow
+    def test_full_backbone_eval_matches_unsharded(self):
+        """The shipped 10-block backbone under sequence parallelism at a
+        padded production length (T=320, 4-way): logits equal the
+        unsharded forward."""
+        from shift_gcn_tpu.models.shift_gcn import ModelConfig
+        from shift_gcn_tpu.parallel.seqpar import (
+            make_time_sharded_eval_step)
+        from shift_gcn_tpu.train.state import (
+            create_train_state, make_eval_step)
+
+        config = ModelConfig(
+            num_class=2, num_point=33, num_person=1,
+            graph="mediapipe_pose")
+        state = create_train_state(jax.random.key(4), config)
+        rng = np.random.default_rng(9)
+        batch = {
+            "data": rng.standard_normal(
+                (2, 3, 320, 33, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, 2).astype(np.int32),
+        }
+        want, _, _ = jax.jit(make_eval_step(config))(
+            state.params, state.bn_state, batch)
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "time"))
+        got, _, _ = jax.jit(make_time_sharded_eval_step(
+            config, mesh, batch_axis="data", time_axis="time"))(
+                state.params, state.bn_state, batch)
+        # untrained-init logits are O(700); tolerance is relative
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_eval_step_matches_unsharded(self):
         from shift_gcn_tpu.parallel.seqpar import (
             make_time_sharded_eval_step)
