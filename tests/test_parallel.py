@@ -210,6 +210,51 @@ class TestTensorParallelTrainStep:
                 err_msg=jax.tree_util.keystr(path))
 
 
+class TestTensorParallelFourstream:
+    """TP sharding rules on the fourstream (stream-stacked) pytrees: the
+    stacked Linear_weight (S, C_in, C_out) shards its LAST axis and the
+    sharded step matches the unsharded fourstream step."""
+
+    def test_fourstream_tp_matches_unsharded(self):
+        from shift_gcn_tpu.graphs import get_graph
+        from shift_gcn_tpu.parallel import mesh as mesh_lib
+        from shift_gcn_tpu.train import fourstream as fs
+        from shift_gcn_tpu.train.optim import build_weight_decay_tree
+
+        config = _small_config()
+        graph = get_graph(config.graph)
+        state4 = fs.create_fourstream_state(jax.random.key(0), config)
+        wd = build_weight_decay_tree(jax.tree_util.tree_map(
+            lambda x: x[0], state4.params))
+        step = fs.make_fourstream_train_step(config, wd, graph)
+        rng = np.random.default_rng(11)
+        batch = {
+            "data": rng.standard_normal((8, 3, 16, 25, 1)).astype(
+                np.float32),
+            "label": rng.integers(0, 2, 8).astype(np.int32),
+        }
+        lr = jnp.asarray(0.1, jnp.float32)
+        s_ref, m_ref = jax.jit(step)(state4, batch, lr)
+
+        mesh = mesh_lib.make_mesh((4, 2), devices=jax.devices()[:8])
+        shardings = mesh_lib.state_shardings(mesh, state4)
+        state_tp = jax.device_put(state4, shardings)
+        lw = state_tp.params["l1"]["gcn1"]["Linear_weight"]
+        assert lw.ndim == 3  # stream-stacked
+        assert not lw.sharding.is_fully_replicated
+        batch_tp = mesh_lib.shard_batch(mesh, batch)
+        s_tp, m_tp = jax.jit(step)(state_tp, batch_tp, lr)
+
+        np.testing.assert_allclose(np.asarray(m_ref["loss"]),
+                                   np.asarray(m_tp["loss"]), atol=1e-5)
+        flat = dict(jax.tree_util.tree_leaves_with_path(s_tp.params))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                s_ref.params):
+            np.testing.assert_allclose(
+                np.asarray(flat[path]), np.asarray(leaf), atol=3e-5,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestTimeShardedTrainStep:
     """Full-model sequence parallelism: the shard_map T-sharded train step
     (parallel/seqpar.py) matches the unsharded step — including the
