@@ -46,11 +46,12 @@ class Feeder:
         native_threads: int = 4,
         pad_to_frames: int = 0,
     ):
-        """``pad_to_frames``: zero-pad every clip's time axis up to this
-        length (after any window/augmentation).  Clips are already
-        zero-padded to T=300 by gendata, so trailing zeros are in-family
-        with the data convention; use e.g. 304/320 to satisfy
-        `shard_time`'s divisibility requirement (parallel/seqpar.py)."""
+        """``pad_to_frames``: pad every clip's time axis up to this
+        length (after any window/augmentation) with empty frames — raw
+        zeros, or (0 - mean)/std under ``normalization`` so the appended
+        frames match how gendata's trailing zero frames come out of the
+        normalize map.  Use e.g. 304/320 to satisfy `shard_time`'s
+        divisibility requirement (parallel/seqpar.py)."""
         self.data_path = data_path
         self.label_path = label_path
         self.random_choose = random_choose
@@ -126,10 +127,18 @@ class Feeder:
             sample = aug.random_move(sample, rng)
         if self.pad_to_frames > sample.shape[1]:
             pad = self.pad_to_frames - sample.shape[1]
-            sample = np.concatenate(
-                [sample,
-                 np.zeros((sample.shape[0], pad) + sample.shape[2:],
-                          sample.dtype)], axis=1)
+            c, _, v, m = sample.shape
+            if self.normalization:
+                # an "empty frame" after normalization is (0 - mean)/std,
+                # not 0 — pad with the transformed value so appended
+                # frames match gendata's zero-frame convention exactly
+                fill = np.broadcast_to(
+                    (-self.mean_map / self.std_map).astype(sample.dtype),
+                    (c, 1, v, m))
+                fill = np.broadcast_to(fill, (c, pad, v, m))
+            else:
+                fill = np.zeros((c, pad, v, m), sample.dtype)
+            sample = np.concatenate([sample, fill], axis=1)
         return sample.astype(np.float32)
 
     def top_k(self, score: np.ndarray, k: int) -> float:

@@ -87,8 +87,13 @@ def partition_edges_ring(
     shard, arranged so bucket r holds the edges whose sources live on
     shard (p + r) mod P — exactly the block that arrives on ring step r.
 
-    Returns ({src_local, dst_local, weight} of shape (P, P, E_max),
-    v_pad, v_loc).  Padded slots carry weight 0 and index 0.
+    Buckets are padded PER ARRIVAL STEP (the ring loop is unrolled with
+    static r, so each step can have its own width): returns a length-P
+    list of {src_local, dst_local, weight} arrays of shape (P, E_max_r),
+    plus (v_pad, v_loc).  For shard-aligned block-diagonal graphs every
+    edge lands in step 0, so steps r > 0 shrink to one padded slot
+    instead of inflating all steps to the global maximum.  Padded slots
+    carry weight 0 and index 0.
     """
     p = num_partitions
     v_loc = -(-num_nodes // p)
@@ -103,35 +108,36 @@ def partition_edges_ring(
         o = int(owner[e])
         r = int((src_shard[e] - o) % p)
         buckets[o][r].append(e)
-    e_max = max((len(b) for row in buckets for b in row), default=1) or 1
-    out = {
-        "src_local": np.zeros((p, p, e_max), np.int32),
-        "dst_local": np.zeros((p, p, e_max), np.int32),
-        "weight": np.zeros((p, p, e_max), np.float32),
-    }
-    for o in range(p):
-        for r in range(p):
+    steps = []
+    for r in range(p):
+        e_max = max((len(buckets[o][r]) for o in range(p)), default=1) or 1
+        step = {
+            "src_local": np.zeros((p, e_max), np.int32),
+            "dst_local": np.zeros((p, e_max), np.int32),
+            "weight": np.zeros((p, e_max), np.float32),
+        }
+        for o in range(p):
             idx = np.asarray(buckets[o][r], np.int64)
             n = len(idx)
             if not n:
                 continue
-            out["src_local"][o, r, :n] = src[idx] % v_loc
-            out["dst_local"][o, r, :n] = dst[idx] % v_loc
-            out["weight"][o, r, :n] = w[idx]
-    return out, v_pad, v_loc
+            step["src_local"][o, :n] = src[idx] % v_loc
+            step["dst_local"][o, :n] = dst[idx] % v_loc
+            step["weight"][o, :n] = w[idx]
+        steps.append(step)
+    return steps, v_pad, v_loc
 
 
 def ring_aggregate(
     x_shard: jax.Array,
-    src_local: jax.Array,
-    dst_local: jax.Array,
-    weight: jax.Array,
+    steps,
     axis_name: str,
 ) -> jax.Array:
     """Ring-exchange edge aggregation (inside shard_map).
 
-    x_shard: this device's (B, V_loc, C) node block; src_local /
-    dst_local / weight: this device's (P, E_max) edge buckets from
+    x_shard: this device's (B, V_loc, C) node block; ``steps``: this
+    device's per-arrival-step edge buckets — a length-P sequence of
+    {src_local, dst_local, weight} arrays of shape (E_max_r,), from
     `partition_edges_ring`.  On step r the buffer holds shard
     (idx + r) mod P's features; the device aggregates bucket r into its
     local accumulator while `ppermute` forwards the buffer to the left
@@ -144,10 +150,11 @@ def ring_aggregate(
     buf = x_shard
     acc = jnp.zeros_like(x_shard)
     for r in range(p):
-        gathered = jnp.take(buf, src_local[r], axis=-2)   # (B, E_max, C)
-        gathered = gathered * weight[r][:, None]
-        moved = jnp.moveaxis(gathered, -2, 0)             # (E_max, B, C)
-        partial = jax.ops.segment_sum(moved, dst_local[r],
+        bucket = steps[r]
+        gathered = jnp.take(buf, bucket["src_local"], axis=-2)
+        gathered = gathered * bucket["weight"][:, None]   # (B, E_r, C)
+        moved = jnp.moveaxis(gathered, -2, 0)             # (E_r, B, C)
+        partial = jax.ops.segment_sum(moved, bucket["dst_local"],
                                       num_segments=v_loc)
         acc = acc + jnp.moveaxis(partial, 0, -2)
         if r + 1 < p:
@@ -280,28 +287,30 @@ def make_sharded_aggregator(
 
     if strategy == "ring":
         n_part = mesh.shape[axis_name]
-        parts, v_pad, v_loc = partition_edges_ring(
+        steps, v_pad, v_loc = partition_edges_ring(
             edges, n_part, num_nodes)
         edge_sharding = NamedSharding(mesh, P(axis_name))
-        dev = {k: jax.device_put(v, edge_sharding)
-               for k, v in parts.items()}
+        dev_steps = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, edge_sharding), steps)
         x_spec = P(None, axis_name, None)
+        step_specs = jax.tree_util.tree_map(
+            lambda _: P(axis_name), steps)
 
         @jax.jit
         def aggregate_ring(x):
             b, v, c = x.shape
             xp = jnp.pad(x, ((0, 0), (0, v_pad - v), (0, 0)))
 
-            def inner(xb, s, d, w):
-                return ring_aggregate(xb, s[0], d[0], w[0], axis_name)
+            def inner(xb, s):
+                local = jax.tree_util.tree_map(lambda a: a[0], s)
+                return ring_aggregate(xb, local, axis_name)
 
             out = jax.shard_map(
                 inner,
                 mesh=mesh,
-                in_specs=(x_spec, P(axis_name), P(axis_name),
-                          P(axis_name)),
+                in_specs=(x_spec, step_specs),
                 out_specs=x_spec,
-            )(xp, dev["src_local"], dev["dst_local"], dev["weight"])
+            )(xp, dev_steps)
             return out[:, :num_nodes]
 
         return aggregate_ring

@@ -53,9 +53,14 @@ def shard_batch(mesh: Mesh, batch, specs=None):
     if specs is None:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, default), batch)
+    if not isinstance(batch, dict):
+        raise TypeError(
+            "shard_batch with specs expects a dict batch keyed like specs")
     return {
-        k: jax.device_put(
-            v, NamedSharding(mesh, specs[k]) if k in specs else default)
+        k: jax.tree_util.tree_map(
+            lambda a, s=(NamedSharding(mesh, specs[k])
+                         if k in specs else default):
+            jax.device_put(a, s), v)
         for k, v in batch.items()
     }
 

@@ -74,6 +74,16 @@ def test_pad_to_frames(tmp_path):
     feeder2 = Feeder(data_path=str(tmp_path / "d.npy"),
                      label_path=str(tmp_path / "l.pkl"), pad_to_frames=8)
     assert feeder2.get(0).shape == (3, 10, 5, 1)
+    # under normalization, padded frames equal the TRANSFORMED empty
+    # frame (0 - mean)/std — the same value gendata's trailing zero
+    # frames map to — not raw zeros
+    feeder3 = Feeder(data_path=str(tmp_path / "d.npy"),
+                     label_path=str(tmp_path / "l.pkl"),
+                     pad_to_frames=16, normalization=True)
+    clip = feeder3.get(0)
+    want = np.broadcast_to(
+        (-feeder3.mean_map / feeder3.std_map), (3, 6, 5, 1))
+    np.testing.assert_allclose(clip[:, 10:], want, rtol=1e-5)
 
 
 def test_window_padding_applied(tmp_path):

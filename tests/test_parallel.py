@@ -461,12 +461,27 @@ class TestRingEdgePartition:
         # owner 0's bucket r=1 (shard 1's block arrives on step 1)
         edges = {"src": np.array([3, 0]), "dst": np.array([0, 2]),
                  "weight": np.array([2.0, 3.0], np.float32)}
-        parts, v_pad, v_loc = partition_edges_ring(edges, 2, 4)
+        steps, v_pad, v_loc = partition_edges_ring(edges, 2, 4)
         assert (v_pad, v_loc) == (4, 2)
-        assert parts["weight"][0, 1, 0] == 2.0   # owner 0, step 1
-        assert parts["src_local"][0, 1, 0] == 1  # 3 % 2
-        assert parts["weight"][1, 1, 0] == 3.0   # dst 2 -> owner 1; src
-        assert parts["dst_local"][1, 1, 0] == 0  # shard 0 arrives step 1
+        assert steps[1]["weight"][0, 0] == 2.0   # owner 0, step 1
+        assert steps[1]["src_local"][0, 0] == 1  # 3 % 2
+        assert steps[1]["weight"][1, 0] == 3.0   # dst 2 -> owner 1; src
+        assert steps[1]["dst_local"][1, 0] == 0  # shard 0 arrives step 1
+
+    def test_per_step_padding_is_tight(self):
+        """Shard-aligned block-diagonal edges all arrive on step 0; later
+        steps must pad to a single slot, not to the global bucket max."""
+        from shift_gcn_tpu.parallel.edge_partition import (
+            partition_edges_ring)
+
+        graph = NTU_RGB_D
+        edges, n_nodes = self._block_diagonal(8, graph)  # 8 clips
+        steps, v_pad, v_loc = partition_edges_ring(edges, 4, n_nodes)
+        # clips per shard = 2 (25*8 nodes, v_loc = 50)
+        assert steps[0]["weight"].shape[1] >= len(edges["src"]) // 4
+        for r in range(1, 4):
+            assert steps[r]["weight"].shape[1] == 1
+            assert float(np.abs(steps[r]["weight"]).sum()) == 0.0
 
 
 class TestEdgeShardedSTGCN:
