@@ -182,42 +182,23 @@ def subset_coo_from_adjacency(adjacency: np.ndarray) -> Dict[str, np.ndarray]:
     }
 
 
-def make_edge_sharded_train_step(
+def _make_edge_sharded_apply(
     config,
-    wd_tree,
     mesh,
     *,
     batch_axis: str = "data",
     edge_axis: str = "model",
     apply_fn=None,
 ):
-    """ST-GCN-family train step with the graph aggregation edge-partitioned
-    over ``edge_axis`` and the batch sharded over ``batch_axis``.
-
-    Each device owns a contiguous slice of the subset-flattened COO edge
-    list; the per-block aggregation all_gathers nothing (node features are
-    replicated along the edge axis), segment-sums its own edges, and psums
-    partial destination sums over ICI — the north-star mechanism of
-    BASELINE.json, integrated into a real training step.  Verified equal
-    to the unsharded dense step (tests/test_parallel.py).
-
-    This trains with the `gather` strategy: skeleton graphs are tiny
-    (V = 25/33), so replicating node features along the edge axis is
-    free and the psum is the only traffic.  The `ring` strategy
-    (node-sharded, ppermute-pipelined — see `ring_aggregate`) is the
-    aggregation-layer escape hatch for graphs too large to replicate;
-    plugging it into a train step requires node-sharding the whole
-    model's activations, which these models never need.
-
-    Same contract as train.state.make_train_step.
-    """
-    import jax.numpy as _jnp
+    """Shared builder: a shard_map'd model apply with the fixed-topology
+    aggregation edge-partitioned over ``edge_axis`` (gather strategy —
+    node features replicated along the edge axis, partial destination
+    sums psummed over ICI).  Used by both the train and eval step
+    builders below."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from shift_gcn_tpu.graphs import get_graph
     from shift_gcn_tpu.models import stgcn
-    from shift_gcn_tpu.train.optim import sgd_update
-    from shift_gcn_tpu.train.state import TrainState, cross_entropy
 
     model_apply = apply_fn or stgcn.apply
     graph = get_graph(config.graph)
@@ -244,6 +225,51 @@ def make_edge_sharded_train_step(
             out_specs=(data_spec, P()),
         )(params, bn_state, data, edges_dev)
 
+    return sharded_apply
+
+
+def make_edge_sharded_train_step(
+    config,
+    wd_tree,
+    mesh,
+    *,
+    batch_axis: str = "data",
+    edge_axis: str = "model",
+    apply_fn=None,
+):
+    """ST-GCN-family train step with the graph aggregation edge-partitioned
+    over ``edge_axis`` and the batch sharded over ``batch_axis``.
+
+    Each device owns a contiguous slice of the subset-flattened COO edge
+    list; the per-block aggregation all_gathers nothing (node features are
+    replicated along the edge axis), segment-sums its own edges, and psums
+    partial destination sums over ICI — the north-star mechanism of
+    BASELINE.json, integrated into a real training step.  Verified equal
+    to the unsharded dense step (tests/test_parallel.py), and launchable
+    from a config (`edge_partition: true` — Trainer._build_steps), the
+    same bar as the reference's config-driven `device: [0,1,2,3]`
+    parallelism (main.py:294-299).
+
+    This trains with the `gather` strategy: skeleton graphs are tiny
+    (V = 25/33), so replicating node features along the edge axis is
+    free and the psum is the only traffic.  The `ring` strategy
+    (node-sharded, ppermute-pipelined — see `ring_aggregate`) is the
+    aggregation-layer escape hatch for graphs too large to replicate;
+    plugging it into a train step requires node-sharding the whole
+    model's activations, which these models never need (a synthetic
+    node-sharded end-to-end training demo lives in tests/test_parallel.py).
+
+    Same contract as train.state.make_train_step.
+    """
+    import jax.numpy as _jnp
+
+    from shift_gcn_tpu.train.optim import sgd_update
+    from shift_gcn_tpu.train.state import TrainState, cross_entropy
+
+    sharded_apply = _make_edge_sharded_apply(
+        config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
+        apply_fn=apply_fn)
+
     def loss_fn(params, bn_state, data, label):
         logits, new_bn_state = sharded_apply(params, bn_state, data, True)
         loss = cross_entropy(logits, label)
@@ -266,6 +292,37 @@ def make_edge_sharded_train_step(
         ), {"loss": loss, "acc": acc}
 
     return train_step
+
+
+def make_edge_sharded_eval_step(
+    config,
+    mesh,
+    *,
+    batch_axis: str = "data",
+    edge_axis: str = "model",
+    apply_fn=None,
+):
+    """Eval-step sibling of `make_edge_sharded_train_step` (running BN
+    stats, padded samples masked out of the loss).  Same contract as
+    train.state.make_eval_step: (params, bn_state, batch) ->
+    (logits, loss_sum, n)."""
+    import jax.numpy as _jnp
+
+    sharded_apply = _make_edge_sharded_apply(
+        config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
+        apply_fn=apply_fn)
+
+    def eval_step(params, bn_state, batch):
+        logits, _ = sharded_apply(params, bn_state, batch["data"], False)
+        mask = batch.get("mask")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -_jnp.take_along_axis(
+            logp, batch["label"][:, None].astype(_jnp.int32), axis=-1)[:, 0]
+        if mask is None:
+            mask = _jnp.ones_like(nll)
+        return logits, _jnp.sum(nll * mask), _jnp.sum(mask)
+
+    return eval_step
 
 
 def make_sharded_aggregator(

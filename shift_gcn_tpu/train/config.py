@@ -69,6 +69,17 @@ class ExperimentConfig:
     shard_time: bool = False                # sequence parallelism: shard T
                                             # over the 'model' mesh axis
                                             # (shard_map + halo exchange)
+    edge_partition: bool = False            # graph/edge partition: the
+                                            # fixed-topology aggregation's
+                                            # COO edge list sharded over the
+                                            # 'model' mesh axis (stgcn-family
+                                            # models; parallel/edge_partition)
+    edge_strategy: str = "gather"           # edge exchange strategy for
+                                            # edge_partition training
+                                            # ('gather'; 'ring' is
+                                            # aggregator-only — see
+                                            # docs/DESIGN.md composition
+                                            # boundaries)
     sync_bn: bool = True                    # global-batch BN under jit
     donate_state: bool = True
     remat: bool = False                     # per-block rematerialization
@@ -95,7 +106,7 @@ class ExperimentConfig:
 
 _BOOL_KEYS = {"save_score", "print_log", "nesterov", "only_train_part",
               "overwrite", "sync_bn", "donate_state", "device_guard",
-              "fourstream", "shard_time"}
+              "fourstream", "shard_time", "edge_partition"}
 
 
 def _coerce(value: str, current: Any) -> Any:

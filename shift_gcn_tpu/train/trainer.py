@@ -143,13 +143,60 @@ class Trainer:
 
             if self.cfg.shard_time:
                 raise ValueError(
-                    "shard_time is not supported with fourstream")
+                    "shard_time is not supported with fourstream "
+                    "(docs/DESIGN.md, composition boundaries)")
+            if self.cfg.edge_partition:
+                raise ValueError(
+                    "edge_partition is not supported with fourstream "
+                    "(docs/DESIGN.md, composition boundaries)")
             graph = fs.graph_for_config(self.model_config)
             train_step = fs.make_fourstream_train_step(
                 self.model_config, self.wd_tree, graph,
                 apply_fn=self.family.apply)
             eval_step = fs.make_fourstream_eval_step(
                 self.model_config, graph, apply_fn=self.family.apply)
+        elif self.cfg.edge_partition:
+            # graph/edge partition (the north-star mode): the
+            # fixed-topology aggregation's COO edge list sharded over the
+            # 'model' mesh axis, batch over 'data'
+            import inspect
+
+            from shift_gcn_tpu.parallel import edge_partition as ep
+
+            if self.cfg.shard_time:
+                raise ValueError(
+                    "edge_partition is not supported with shard_time "
+                    "(docs/DESIGN.md, composition boundaries)")
+            if self.cfg.edge_strategy != "gather":
+                raise ValueError(
+                    f"edge_strategy={self.cfg.edge_strategy!r}: training "
+                    "supports 'gather' only; 'ring' is the aggregation-"
+                    "layer strategy for node-sharded graphs "
+                    "(docs/DESIGN.md, composition boundaries)")
+            if self.mesh.shape["model"] < 2:
+                raise ValueError(
+                    "edge_partition needs mesh_shape [data, model] with "
+                    "model >= 2 (the 'model' axis carries the edge shards)")
+            apply_params = inspect.signature(
+                self.family.apply).parameters
+            if "edges" not in apply_params:
+                raise ValueError(
+                    f"edge_partition is not supported by model family "
+                    f"{self.cfg.model!r} (its apply() has no edges "
+                    "parameter; the stgcn family has)")
+            train_step = ep.make_edge_sharded_train_step(
+                self.model_config, self.wd_tree, self.mesh,
+                batch_axis="data", edge_axis="model",
+                apply_fn=self.family.apply)
+            eval_step = ep.make_edge_sharded_eval_step(
+                self.model_config, self.mesh,
+                batch_axis="data", edge_axis="model",
+                apply_fn=self.family.apply)
+            # commit the state replicated over this mesh: restored
+            # checkpoints land committed on one device, which conflicts
+            # with the mesh-sharded batch/edges inside shard_map
+            self.state = jax.device_put(
+                self.state, mesh_lib.replicated(self.mesh))
         elif self.cfg.shard_time:
             # sequence parallelism: T sharded over the 'model' mesh axis,
             # batch over 'data', inside one shard_map program
@@ -190,7 +237,8 @@ class Trainer:
         self._batch_specs = (
             {"data": P("data", None, "model")} if self.cfg.shard_time
             else None)
-        if self.mesh.shape["model"] > 1 and not self.cfg.shard_time:
+        if (self.mesh.shape["model"] > 1 and not self.cfg.shard_time
+                and not self.cfg.edge_partition):
             # tensor parallelism: commit the state to the TP shardings
             # (Linear_weight / temporal_linear output channels over
             # 'model'); jit then propagates them through the step
@@ -391,6 +439,11 @@ class Trainer:
 
     def evaluate(self, epoch: int, wrong_file: Optional[str] = None,
                  result_file: Optional[str] = None) -> float:
+        # eval boundaries come more often than saves (eval_interval=5 vs
+        # save_interval=2 both exist in reference configs) — check the
+        # shift tap radius here too so a ypos walking past MAX_SHIFT is
+        # caught at the next eval, not only at the next save
+        self.check_shift_range()
         if self.cfg.fourstream:
             return self._evaluate_fourstream(
                 epoch, wrong_file=wrong_file, result_file=result_file)
