@@ -121,6 +121,13 @@ def run_ensemble(
         # match): use the reference's index-keyed fusion (ensemble.py:18-27).
         # Partial overlap stays a loud KeyError below — silent positional
         # fusion there could misalign streams against the labels.
+        import warnings
+
+        warnings.warn(
+            "ensemble: score keys share nothing with the label sample "
+            "names; falling back to POSITIONAL (insertion-order) fusion — "
+            "equal-length score files whose order differs from the label "
+            "order would fuse misaligned", stacklevel=2)
         scores = ensemble_scores_by_index(score_dicts, alpha)
         if scores.shape[0] != len(names):
             raise ValueError(

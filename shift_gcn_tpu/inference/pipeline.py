@@ -301,7 +301,11 @@ def auto_detect_checkpoints(save_dir: str) -> Dict[str, str]:
             def epoch_of(p):
                 parts = os.path.splitext(os.path.basename(p))[0].rsplit(
                     "-", 2)
-                return int(parts[-2]) if len(parts) >= 3 else 0
+                # non-numeric epoch tokens (e.g. 'fall-bone-final.pt')
+                # sort as epoch 0 instead of aborting auto-detect
+                if len(parts) >= 3 and parts[-2].isdigit():
+                    return int(parts[-2])
+                return 0
             found[modality] = max(pts, key=epoch_of)
     return found
 
@@ -349,9 +353,6 @@ def run_pipeline(
         landmarks, predictor, window=window, stride=stride,
         threshold=threshold)
     report["video"] = os.path.basename(video_path)
-    if output_json:
-        with open(output_json, "w") as f:
-            json.dump(report, f, indent=2)
     if output_video:
         from shift_gcn_tpu.inference.render import render_annotated_video
 
@@ -363,6 +364,12 @@ def run_pipeline(
             pixel_landmarks=pixel_landmarks(result),
             threshold=threshold)
         report["annotated_video"] = output_video
+    # dump the JSON last so the saved report matches the returned dict
+    # (including 'annotated_video', and never claiming success when the
+    # render raised)
+    if output_json:
+        with open(output_json, "w") as f:
+            json.dump(report, f, indent=2)
     return report
 
 

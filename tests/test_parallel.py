@@ -405,6 +405,123 @@ class TestTimeShardedTrainStep:
         np.testing.assert_allclose(float(lsum_g), float(lsum_w), atol=1e-4)
 
 
+class TestRingTraining:
+    """Ring strategy TRAINING demo (VERDICT r2 stretch): a synthetic
+    large-V GNN whose node features stay sharded end to end — two
+    ring-aggregated layers, node-mean pooling psummed across shards —
+    trains (loss + grads + SGD trajectory) exactly equal to its dense
+    unsharded twin.  The regime ring exists for: V too large to
+    replicate per device (edge_partition.py module docstring)."""
+
+    V, C, H, P_SHARDS, B = 64, 8, 16, 8, 4
+
+    def _graph(self):
+        # sparse random digraph over V=64 nodes (8 per shard), with
+        # cross-shard edges guaranteed by a stride-9 ring
+        rng = np.random.default_rng(3)
+        src = np.arange(self.V, dtype=np.int32)
+        dst = ((src * 9 + 5) % self.V).astype(np.int32)
+        extra = rng.integers(0, self.V, (2, 40)).astype(np.int32)
+        return {
+            "src": np.concatenate([src, extra[0]]),
+            "dst": np.concatenate([dst, extra[1]]),
+            "weight": rng.uniform(0.5, 1.5, self.V + 40).astype(np.float32),
+        }
+
+    def _params_and_data(self):
+        rng = np.random.default_rng(11)
+        params = {
+            "w1": rng.standard_normal((self.C, self.H)).astype(np.float32)
+            * 0.3,
+            "b1": np.zeros(self.H, np.float32),
+            "w2": rng.standard_normal((self.H, self.H)).astype(np.float32)
+            * 0.3,
+            "b2": np.zeros(self.H, np.float32),
+            "wo": rng.standard_normal((self.H, 2)).astype(np.float32) * 0.3,
+        }
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        x = rng.standard_normal(
+            (self.B, self.V, self.C)).astype(np.float32)
+        y = rng.integers(0, 2, self.B).astype(np.int32)
+        return params, jnp.asarray(x), jnp.asarray(y)
+
+    def _loss_dense(self, params, x, y, edges):
+        e = {k: jnp.asarray(v) for k, v in edges.items()}
+        h = jax.nn.relu(
+            edge_aggregate(x, e, self.V) @ params["w1"] + params["b1"])
+        h = edge_aggregate(h, e, self.V) @ params["w2"] + params["b2"]
+        logits = h.mean(axis=1) @ params["wo"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(
+            logp, y[:, None], axis=-1)), logits
+
+    def _make_loss_ring(self, mesh, edges):
+        from shift_gcn_tpu.parallel.edge_partition import (
+            partition_edges_ring, ring_aggregate)
+
+        steps, v_pad, v_loc = partition_edges_ring(
+            edges, self.P_SHARDS, self.V)
+        assert v_pad == self.V
+        steps_dev = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P("model"))), steps)
+        step_specs = jax.tree_util.tree_map(lambda _: P("model"), steps)
+        x_spec = P(None, "model", None)
+
+        def loss(params, x, y):
+            def inner(p, xb, sb):
+                local = jax.tree_util.tree_map(lambda a: a[0], sb)
+                h = jax.nn.relu(
+                    ring_aggregate(xb, local, "model") @ p["w1"] + p["b1"])
+                h = ring_aggregate(h, local, "model") @ p["w2"] + p["b2"]
+                pooled = jax.lax.psum(h.sum(axis=1), "model") / self.V
+                return pooled @ p["wo"]
+
+            logits = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(), x_spec, step_specs),
+                out_specs=P(),
+            )(params, x, steps_dev)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, y[:, None], axis=-1)), logits
+
+        return loss
+
+    def test_node_sharded_model_trains_equal_to_dense(self):
+        edges = self._graph()
+        params, x, y = self._params_and_data()
+        mesh = Mesh(np.asarray(jax.devices()[:self.P_SHARDS]).reshape(
+            1, self.P_SHARDS), ("data", "model"))
+        loss_ring = self._make_loss_ring(mesh, edges)
+
+        grad_dense = jax.jit(jax.grad(
+            lambda p, xx, yy: self._loss_dense(p, xx, yy, edges)[0]))
+        grad_ring = jax.jit(jax.grad(
+            lambda p, xx, yy: loss_ring(p, xx, yy)[0]))
+
+        p_d = params
+        p_r = jax.device_put(params, NamedSharding(mesh, P()))
+        lr = 0.5
+        for step in range(5):
+            gd = grad_dense(p_d, x, y)
+            gr = grad_ring(p_r, x, y)
+            for k in p_d:
+                np.testing.assert_allclose(
+                    np.asarray(gr[k]), np.asarray(gd[k]), atol=1e-5,
+                    err_msg=f"step {step} grad {k}")
+            p_d = jax.tree_util.tree_map(
+                lambda p_, g: p_ - lr * g, p_d, gd)
+            p_r = jax.tree_util.tree_map(
+                lambda p_, g: p_ - lr * g, p_r, gr)
+        ld, _ = self._loss_dense(p_d, x, y, edges)
+        lr_, _ = jax.jit(loss_ring)(p_r, x, y)
+        np.testing.assert_allclose(float(lr_), float(ld), atol=1e-5)
+        # it actually learned something
+        l0, _ = self._loss_dense(params, x, y, edges)
+        assert float(ld) < float(l0)
+
+
 class TestRingEdgePartition:
     """Ring strategy: node features sharded over the axis, boundary
     blocks exchanged by ppermute, no replication and no final psum."""
