@@ -34,6 +34,10 @@ def main() -> None:
                         "params/BN-stats/optimizer fp32, +30%% train "
                         "throughput, convergence-parity-tested) or "
                         "'float32' for the exact-reference-precision path")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="scaling/edges modes: largest device count "
+                        "to scale to (0 = all local devices). On a real "
+                        "slice, pass the slice size")
     parser.add_argument("--strategy", default="gather",
                         choices=["gather", "ring"],
                         help="edge-partition exchange strategy for "
@@ -400,9 +404,23 @@ def _bench_fourstream(args):
     }))
 
 
+def _scaling_substrate(devices, sizes):
+    """Classify what a scaling efficiency number measured on these devices
+    actually means.  Only a real multi-chip accelerator slice measures ICI
+    scaling; one chip or virtual CPU devices exercise the code path
+    (harness smoke), not the target metric."""
+    platform = devices[0].platform
+    if platform == "cpu":
+        return "virtual-cpu", True
+    if sizes[-1] < 2 or len({d.id for d in devices[:sizes[-1]]}) < 2:
+        return f"single-{platform}-chip", True
+    return f"{platform}-slice", False
+
+
 def _bench_edges(args):
     """North-star measurement (BASELINE.json): edges/s of the
-    edge-partitioned aggregation, weak-scaled over 1..N local devices.
+    edge-partitioned aggregation, weak-scaled over 1..N devices, reported
+    as efficiency vs this run's own 1-device baseline.
 
     Many clips' skeleton graphs are batched into ONE block-diagonal sparse
     problem (B disjoint copies of the NTU spatial graph -> B*E edges over
@@ -410,6 +428,13 @@ def _bench_edges(args):
     each device segment-sums its slice + psums partials
     (parallel/edge_partition.py).  Weak scaling: clips (and so edges)
     grow with the device count, per-device edge work held constant.
+
+    Protocol for the real measurement (the >=85% target): run on a TPU
+    slice whose chips share an ICI domain (v5e-8 or larger; the mesh axis
+    must ride ICI, not DCN), ``--devices <slice size>``; the JSON's
+    ``substrate`` field then reads ``tpu-slice`` and ``harness_smoke``
+    false.  Any other substrate (one chip, virtual CPU devices) exercises
+    the code path only and is labeled harness_smoke: true.
     """
     import jax
     from jax.sharding import Mesh
@@ -418,7 +443,8 @@ def _bench_edges(args):
     from shift_gcn_tpu.parallel.edge_partition import make_sharded_aggregator
 
     devices = jax.devices()
-    sizes = [s for s in (1, 2, 4, 8) if s <= len(devices)]
+    n_max = min(len(devices), args.devices) if args.devices else len(devices)
+    sizes = [s for s in (1, 2, 4, 8, 16, 32, 64, 128, 256) if s <= n_max]
     per_dev_clips = 16 if args.smoke else 512
     c = 16 if args.smoke else 64
     graph = NTU_RGB_D
@@ -450,22 +476,25 @@ def _bench_edges(args):
 
     top = sizes[-1]
     efficiency = eps[top] / (eps[sizes[0]] * top)
+    substrate, smoke = _scaling_substrate(devices, sizes)
     print(json.dumps({
         "metric": f"edge_scaling_efficiency_{top}x",
         "value": round(efficiency, 3),
         "unit": "fraction",
         "vs_baseline": round(efficiency / 0.85, 2),
         "strategy": args.strategy,
+        "substrate": substrate,
+        "harness_smoke": smoke,
         "edges_per_sec": {str(k): round(val, 0) for k, val in eps.items()},
     }))
 
 
 def _bench_scaling(args):
-    """Data-parallel scaling efficiency over the local devices: clips/s at
-    mesh sizes 1..N with per-device batch held constant (weak scaling).
-    Reports efficiency at the largest mesh (the >=85%% edges/s-scaling
-    target from BASELINE.json, measured on whatever devices exist here —
-    meaningful on real multi-chip slices)."""
+    """Data-parallel scaling efficiency: clips/s at mesh sizes 1..N with
+    per-device batch held constant (weak scaling), vs this run's own
+    1-device baseline.  Only meaningful on a real multi-chip slice
+    (``--devices <slice size>``); elsewhere the JSON labels itself
+    ``harness_smoke: true`` — the code path runs, the metric doesn't."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -475,7 +504,8 @@ def _bench_scaling(args):
     from shift_gcn_tpu.train.state import create_train_state, make_train_step
 
     devices = jax.devices()
-    sizes = [s for s in (1, 2, 4, 8) if s <= len(devices)]
+    n_max = min(len(devices), args.devices) if args.devices else len(devices)
+    sizes = [s for s in (1, 2, 4, 8, 16, 32, 64, 128, 256) if s <= n_max]
     per_device_batch = 8
     config = ModelConfig(
         num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
@@ -506,11 +536,16 @@ def _bench_scaling(args):
     base = throughput[sizes[0]]
     top = sizes[-1]
     efficiency = throughput[top] / (base * top)
+    substrate, smoke = _scaling_substrate(devices, sizes)
     print(json.dumps({
         "metric": f"dp_scaling_efficiency_{top}x",
         "value": round(efficiency, 3),
         "unit": "fraction",
         "vs_baseline": round(efficiency / 0.85, 2),
+        "substrate": substrate,
+        "harness_smoke": smoke,
+        "clips_per_sec": {str(k): round(v, 1)
+                          for k, v in throughput.items()},
     }))
 
 
