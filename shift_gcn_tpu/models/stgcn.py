@@ -129,6 +129,14 @@ def adaptive_attention(x: jax.Array, theta: jax.Array,
     over the complete graph (V <= 33, so the full product is one small
     MXU matmul) — and row-softmaxes into attention weights.
 
+    Temperature: scores are normalized by 1/T only, a deliberate delta
+    from 2s-AGCN's 1/(C_e*T) softmax argument.  The embeddings here are
+    init-scaled by 1/sqrt(C) (init_params), so score magnitude is already
+    d-independent at init; dividing by d as well would flatten the
+    softmax toward uniform as the embed width grows.  Opt-in feature
+    (adaptive_embed=0 default) — oracle-tested against numpy at this
+    normalization (tests/test_stgcn.py).
+
     Returns (K, N, V, V).
     """
     a = jnp.einsum("ntvc,kcd->knvtd", x, theta,
