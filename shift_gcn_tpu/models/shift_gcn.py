@@ -382,6 +382,16 @@ def _apply_shift_tcn(
         h = temporal_shift_linear(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
             w2, params["temporal_linear"]["bias"])
+    elif (_os.environ.get("SGT_TCN_FREQ_FUSE", "0") == "1"
+            and _ts_mod.ASSUME_XPOS_ZERO
+            and _ts_mod.get_impl() == "dft"):
+        # shift_in + temporal_linear in one shared Fourier-basis pass
+        # (ops/temporal_shift.temporal_shift_linear_dft): one fewer
+        # matmul + one fewer (N,T,V,C) materialization per block
+        w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T
+        h = _ts_mod.temporal_shift_linear_dft(
+            h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
+            w2, params["temporal_linear"]["bias"])
     else:
         h = _tshift(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1)

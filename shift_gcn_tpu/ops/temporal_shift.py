@@ -577,6 +577,148 @@ def _temporal_shift_bwd(stride, residuals, g):
 temporal_shift.defvjp(_temporal_shift_fwd, _temporal_shift_bwd)
 
 
+def _tsl_dft_forward(xh: jax.Array, ypos: jax.Array, w: jax.Array,
+                     bias: jax.Array, t_in: int, l: int) -> jax.Array:
+    """Fused stride-1 shift + pointwise linear in the Fourier basis.
+
+    The channel-mixing 1x1 conv is pointwise over time, so in the
+    frequency domain it applies per frequency to both real/imag planes:
+    out = synth(twiddle(X) @ W) + bias — one shared analysis/synthesis
+    pair replaces the shift's pair PLUS the separate time-domain matmul
+    (one fewer matmul and one fewer (N,T,V,C) materialization per block
+    than shift-then-conv).
+    """
+    f = l // 2 + 1
+    pr, pi = (a.astype(xh.dtype) for a in _dft_t_phase(ypos, l, "hat"))
+    xr, xi = xh[:, :f], xh[:, f:]
+    zr = xr * pr[None, :, None, :] - xi * pi[None, :, None, :]
+    zi = xr * pi[None, :, None, :] + xi * pr[None, :, None, :]
+    wd = w.astype(xh.dtype)
+    zcr = jnp.einsum("nfvc,cd->nfvd", zr, wd,
+                     preferred_element_type=xh.dtype)
+    zci = jnp.einsum("nfvc,cd->nfvd", zi, wd,
+                     preferred_element_type=xh.dtype)
+    inv_r, inv_i = (a.astype(xh.dtype) for a in _dft_inv_basis(
+        t_in, 1, MAX_SHIFT, l, -1.0))
+    out = (jnp.einsum("nfvd,fs->nsvd", zcr, inv_r,
+                      preferred_element_type=xh.dtype)
+           + jnp.einsum("nfvd,fs->nsvd", zci, inv_i,
+                        preferred_element_type=xh.dtype))
+    return out + bias.reshape(1, 1, 1, -1).astype(xh.dtype)
+
+
+@jax.custom_vjp
+def temporal_shift_linear_dft(
+    x: jax.Array, xpos: jax.Array, ypos: jax.Array,
+    w: jax.Array, bias: jax.Array,
+) -> jax.Array:
+    """`pointwise(temporal_shift(x, ., ypos, 1), w, bias)` evaluated in one
+    shared Fourier-basis pass (see `_tsl_dft_forward`); requires the
+    xpos-zero lowering.  Numerically identical (to fp roundoff) to the
+    shift-then-conv composition: the twiddle IS the hat-tap shift
+    (`_dft_t_phase` docstring), and the channel matmul commutes with the
+    synthesis because it is pointwise over time.
+
+    Gradients: true VJPs for x / w / bias; ypos follows the reference
+    constraint kernel (shift_cuda_kernel.cu:370-395) with the raw sign
+    taken at the shift-output cotangent g @ W^T — computed in the
+    frequency domain via the same Parseval trick as `_dft_shift_bwd`
+    (GW = G+ @ W^T replaces G+ there; algebra in _tsl_dft_bwd).
+    """
+    l = _dft_t_len(x.shape[1])
+    xh = _dft_spectrum(x, l)
+    return _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l)
+
+
+def _tsl_dft_fwd(x, xpos, ypos, w, bias):
+    l = _dft_t_len(x.shape[1])
+    xh = _dft_spectrum(x, l)
+    out = _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l)
+    return out, (xh, xpos, ypos, w, x.shape[1])
+
+
+def _tsl_dft_bwd(residuals, g):
+    """Derivation (per (n, v) slice, complex planes; a = 2*pi/l, offset M
+    folded into every basis):  forward is out[s,d] =
+    sum_f w_f Re(ZC[f,d] e^{+i a f (s+M)}) + bias, ZC = (X.P) W with
+    X = analysis(x) (e^{-i} basis), P the hat phase.  Adjoints:
+
+      dZC = w_f conj(G+),        G+[f,d] = sum_s g[s,d] e^{+i a f (s+M)}
+      dW[c,d] = sum_{n,v,f} w_f Re(Z[f,c] G+[f,d]),   Z = X.P
+      dX = conj(P) . dZ = w_f conj(P . GW),           GW = G+ W^T
+      dx[t] = sum_f Re(dX e^{+i a f (t+M)})
+            = sum_f w_f Re(P GW e^{-i a f (t+M)})
+
+    — dx is exactly `_dft_shift_bwd`'s grad_input with GW in place of
+    G+, and the constraint inner product likewise Parsevals against the
+    saved spectrum with GW (the shift-output cotangent in freq space).
+    """
+    xh, xpos, ypos, w, t_in = residuals
+    n = g.shape[0]
+    l = _dft_t_len(t_in)
+    f = l // 2 + 1
+
+    grad_bias = jnp.sum(g, axis=(0, 1, 2)).astype(w.dtype)
+
+    gb = _dft_point_basis(g.shape[1], 1, MAX_SHIFT, l, 1.0).astype(g.dtype)
+    gh = jnp.einsum("nsvd,sf->nfvd", g, gb,
+                    preferred_element_type=g.dtype)
+    gr, gi = gh[:, :f], gh[:, f:]                       # G+ planes
+
+    # grad_W: sum_f w_f Re(Z G+), Z recomputed from the saved spectrum by
+    # the (elementwise) twiddle
+    pr, pi = (a.astype(xh.dtype) for a in _dft_t_phase(ypos, l, "hat"))
+    xr, xi = xh[:, :f], xh[:, f:]
+    zr = xr * pr[None, :, None, :] - xi * pi[None, :, None, :]
+    zi = xr * pi[None, :, None, :] + xi * pr[None, :, None, :]
+    wv = _dft_hermitian_weights(l)[:, 0].astype(jnp.float32)    # (F,)
+    wgr = (gr.astype(jnp.float32)
+           * wv[None, :, None, None]).astype(g.dtype)
+    wgi = (gi.astype(jnp.float32)
+           * wv[None, :, None, None]).astype(g.dtype)
+    grad_w = (jnp.einsum("nfvc,nfvd->cd", zr, wgr,
+                         preferred_element_type=jnp.float32)
+              - jnp.einsum("nfvc,nfvd->cd", zi, wgi,
+                           preferred_element_type=jnp.float32)
+              ).astype(w.dtype)
+
+    # shift-output cotangent in freq space: GW = G+ @ W^T
+    wd = w.astype(g.dtype)
+    gwr = jnp.einsum("nfvd,cd->nfvc", gr, wd,
+                     preferred_element_type=g.dtype)
+    gwi = jnp.einsum("nfvd,cd->nfvc", gi, wd,
+                     preferred_element_type=g.dtype)
+
+    # grad_input: twiddle GW by P, synthesize at input points (sign +1)
+    tzr = gwr * pr[None, :, None, :] - gwi * pi[None, :, None, :]
+    tzi = gwr * pi[None, :, None, :] + gwi * pr[None, :, None, :]
+    inv_r, inv_i = (a.astype(g.dtype)
+                    for a in _dft_inv_basis(t_in, 1, MAX_SHIFT, l, 1.0))
+    grad_x = (jnp.einsum("nfvc,ft->ntvc", tzr, inv_r,
+                         preferred_element_type=g.dtype)
+              + jnp.einsum("nfvc,ft->ntvc", tzi, inv_i,
+                           preferred_element_type=g.dtype))
+
+    # constraint: gy_raw = sum_f w_f (dr Re(X GW) - di Im(X GW)) / n
+    dr, di = _dft_t_phase(ypos, l, "diff")              # fp32 (F, C)
+    xr32, xi32 = xr.astype(jnp.float32), xi.astype(jnp.float32)
+    gwr32, gwi32 = gwr.astype(jnp.float32), gwi.astype(jnp.float32)
+    re_xg = xr32 * gwr32 - xi32 * gwi32
+    im_xg = xr32 * gwi32 + xi32 * gwr32
+    contrib = dr[None, :, None, :] * re_xg - di[None, :, None, :] * im_xg
+    gy_raw = jnp.sum(wv[None, :, None, None] * contrib,
+                     axis=(0, 1, 2)) / n
+    dmag = jnp.abs(gy_raw)
+    gy = jnp.where(dmag != 0,
+                   gy_raw / jnp.where(dmag != 0, dmag, 1.0) * 0.01,
+                   1e-4)
+    return (grad_x, jnp.zeros_like(xpos), gy.astype(ypos.dtype),
+            grad_w, grad_bias)
+
+
+temporal_shift_linear_dft.defvjp(_tsl_dft_fwd, _tsl_dft_bwd)
+
+
 def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
                 bias: jax.Array) -> jax.Array:
     """out = pointwise(temporal_shift(x)) as ONE dense temporal conv.

@@ -278,3 +278,90 @@ class TestBnShiftLinearFold:
         got, _ = apply(params, state, xb, cfg, training=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestFreqFusedShiftLinear:
+    """temporal_shift_linear_dft == temporal_shift(dft) -> pointwise, for
+    the forward, all true grads (x/w/bias), and the constraint ypos step
+    (whose raw sign is taken at the shift-output cotangent g @ W^T)."""
+
+    def _setup(self, seed=0, n=3, t=24, v=5, c=6, d=7):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, t, v, c)), jnp.float32)
+        ypos = jnp.asarray(rng.uniform(-3, 3, c), jnp.float32)
+        xpos = jnp.zeros((c,), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((c, d)) * 0.4, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(d), jnp.float32)
+        return x, xpos, ypos, w, bias
+
+    def _unfused(self, x, xpos, ypos, w, bias, monkeypatch):
+        from shift_gcn_tpu.ops.conv import pointwise_conv
+
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        monkeypatch.setenv("SGT_TSHIFT_IMPL", "dft")
+        monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+        h = ts.temporal_shift(x, xpos, ypos, 1)
+        wt = w.T[:, :, None, None]  # (D, C, 1, 1) torch layout
+        return pointwise_conv(h, wt, bias)
+
+    def test_forward_matches_composition(self, monkeypatch):
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        x, xpos, ypos, w, bias = self._setup()
+        want = self._unfused(x, xpos, ypos, w, bias, monkeypatch)
+        got = ts.temporal_shift_linear_dft(x, xpos, ypos, w, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_true_grads_match_composition(self, monkeypatch):
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        x, xpos, ypos, w, bias = self._setup(seed=4)
+
+        def loss_fused(x_, w_, b_):
+            return jnp.sum(jnp.sin(
+                ts.temporal_shift_linear_dft(x_, xpos, ypos, w_, b_)))
+
+        def loss_unfused(x_, w_, b_):
+            return jnp.sum(jnp.sin(
+                self._unfused(x_, xpos, ypos, w_, b_, monkeypatch)))
+
+        ga = jax.grad(loss_unfused, argnums=(0, 1, 2))(x, w, bias)
+        gb = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, bias)
+        for u, f, name in zip(ga, gb, ("x", "w", "bias")):
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(u), rtol=3e-4, atol=3e-5,
+                err_msg=name)
+
+    def test_constraint_ypos_matches_composition(self, monkeypatch):
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        for seed in range(6):
+            x, xpos, ypos, w, bias = self._setup(seed=seed, t=16)
+
+            gy_ref = np.asarray(jax.grad(lambda yp: jnp.sum(jnp.sin(
+                self._unfused(x, xpos, yp, w, bias, monkeypatch))))(ypos))
+            gy_fused = np.asarray(jax.grad(lambda yp: jnp.sum(jnp.sin(
+                ts.temporal_shift_linear_dft(x, xpos, yp, w, bias))))(ypos))
+            np.testing.assert_allclose(gy_fused, gy_ref, atol=1e-9,
+                                       err_msg=f"seed {seed}")
+            mags = np.abs(gy_fused)
+            assert np.all(np.isclose(mags, 0.01, atol=1e-8)
+                          | np.isclose(mags, 0.0001, atol=1e-8))
+
+    @pytest.mark.parametrize("training", [True, False])
+    def test_model_option_matches_default(self, monkeypatch, training):
+        from shift_gcn_tpu.models.shift_gcn import (ModelConfig, apply,
+                                                    init_params)
+
+        ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
+        monkeypatch.setenv("SGT_TSHIFT_IMPL", "dft")
+        monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+        cfg = ModelConfig(num_class=2, num_point=25, num_person=1,
+                          graph="ntu_rgb_d")
+        params, state = init_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        xb = jnp.asarray(rng.standard_normal((2, 3, 64, 25, 1)), jnp.float32)
+        monkeypatch.setenv("SGT_TCN_FREQ_FUSE", "0")
+        ref, _ = apply(params, state, xb, cfg, training=training)
+        monkeypatch.setenv("SGT_TCN_FREQ_FUSE", "1")
+        got, _ = apply(params, state, xb, cfg, training=training)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
