@@ -138,9 +138,18 @@ def main() -> None:
     # relay blocks the calling thread; a real input pipeline overlaps the
     # copy with compute, so the bench does too — every batch is still
     # transferred inside the timed region).
+    #
+    # The reported number is the MEDIAN of 3 timed windows: controlled
+    # A/Bs (probes 35/36, docs/PERF.md) show this platform's socket relay
+    # injects episodic multi-second stalls that can depress a single
+    # window 15-40% while adjacent windows are clean — a robust statistic
+    # over windows measures the program, not the relay's worst moment.
+    # All window readings are reported in the JSON.
     from concurrent.futures import ThreadPoolExecutor
 
-    for attempt in range(3):
+    reps = []
+    windows = 1 if args.smoke else 3
+    for attempt in range(5):
         with ThreadPoolExecutor(max_workers=1) as pool:
             t0 = time.perf_counter()
             pending = pool.submit(jax.device_put, host_batch)
@@ -153,18 +162,23 @@ def main() -> None:
         clips_per_sec = steps * batch_size / dt
         # a full train step on one chip cannot plausibly exceed ~3000
         # clips/s — faster readings mean the zombie-worker no-op mode
-        if args.smoke or clips_per_sec < 3000:
+        if not args.smoke and clips_per_sec >= 3000:
+            print(f"# implausible throughput {clips_per_sec:.0f} clips/s; "
+                  "re-checking device", flush=True)
+            _device_sanity_check()
+            continue
+        reps.append(clips_per_sec)
+        if len(reps) >= windows:
             break
-        print(f"# implausible throughput {clips_per_sec:.0f} clips/s; "
-              "re-checking device", flush=True)
-        _device_sanity_check()
+    clips_per_sec = float(np.median(reps))
     print(json.dumps({
         "metric": "train_clips_per_sec",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / 47.0, 2),
+        "window_reps": [round(r, 1) for r in reps],
         "roofline": _roofline(config, t, batch_size,
-                              dt / steps, train=True),
+                              batch_size / clips_per_sec, train=True),
     }))
 
 
@@ -313,13 +327,17 @@ def _bench_eval(args):
         (args.batch_size, 3, 300, 33, 1)), jnp.float32)
     fwd = jax.jit(lambda p, s, xx: apply(p, s, xx, config,
                                          training=False)[0])
-    dt = _timeit(fwd, params, state, x, steps=args.steps)
-    clips = args.batch_size / dt
+    # median of 3 windows, same relay-stall rationale as the train bench
+    windows = 1 if args.smoke else 3
+    dts = [_timeit(fwd, params, state, x, steps=args.steps)
+           for _ in range(windows)]
+    clips = args.batch_size / float(np.median(dts))
     print(json.dumps({
         "metric": "eval_clips_per_sec",
         "value": round(clips, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips / 473.0, 2),
+        "window_reps": [round(args.batch_size / d, 1) for d in dts],
     }))
 
 

@@ -382,12 +382,17 @@ def _apply_shift_tcn(
         h = temporal_shift_linear(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
             w2, params["temporal_linear"]["bias"])
-    elif (_os.environ.get("SGT_TCN_FREQ_FUSE", "0") == "1"
+    elif (_os.environ.get("SGT_TCN_FREQ_FUSE", "eval")
+            in (("1", "eval") if not training else ("1",))
             and _ts_mod.ASSUME_XPOS_ZERO
             and _ts_mod.get_impl() == "dft"):
         # shift_in + temporal_linear in one shared Fourier-basis pass
         # (ops/temporal_shift.temporal_shift_linear_dft): one fewer
-        # matmul + one fewer (N,T,V,C) materialization per block
+        # matmul + one fewer (N,T,V,C) materialization per block.
+        # SGT_TCN_FREQ_FUSE: "eval" (default — fused in eval only, where
+        # it measures +3.5% with zero overlap, probe37; train is a wash
+        # because the backward's extra grad_W einsums offset the saving,
+        # probe36), "1" (always), "0" (never).
         w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T
         h = _ts_mod.temporal_shift_linear_dft(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],

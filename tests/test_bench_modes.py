@@ -40,6 +40,18 @@ def test_scaling_mode_runs_on_virtual_mesh():
     rec = _run_bench("--mode", "scaling", "--steps", "3")
     assert rec["metric"].startswith("dp_scaling_efficiency")
     assert rec["value"] > 0
+    # virtual CPU devices must label themselves a harness smoke, never a
+    # scaling measurement (VERDICT r2 weak item 4)
+    assert rec["substrate"] == "virtual-cpu"
+    assert rec["harness_smoke"] is True
+    assert "1" in rec["clips_per_sec"]
+
+
+@pytest.mark.slow
+def test_scaling_devices_cap():
+    rec = _run_bench("--mode", "scaling", "--steps", "3", "--devices", "2")
+    assert rec["metric"] == "dp_scaling_efficiency_2x"
+    assert set(rec["clips_per_sec"]) == {"1", "2"}
 
 
 @pytest.mark.slow
@@ -51,3 +63,5 @@ def test_edges_mode_reports_scaling(strategy):
     assert rec["strategy"] == strategy
     assert rec["value"] > 0
     assert "1" in rec["edges_per_sec"]
+    assert rec["substrate"] == "virtual-cpu"
+    assert rec["harness_smoke"] is True
