@@ -81,6 +81,7 @@ for stream in joint bone joint_motion bone_motion; do
     python -m shift_gcn_tpu.cli.train \
         --config "configs/mediapipe/train_${stream}.yaml" \
         --work_dir "${WORK_DIR}" \
+        --model_saved_name "${WORK_DIR}/save_models" \
         --num_epoch "${EPOCHS}" --eval_interval "${EPOCHS}" \
         --save_interval "${EPOCHS}" \
         --train_feeder_args "{data_path: ${DATA_DIR}/train_data_${stream}.npy, label_path: ${DATA_DIR}/train_label.pkl}" \
