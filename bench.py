@@ -20,6 +20,17 @@ import time
 import numpy as np
 
 
+# --dataset shapes for the train/eval model benches: the MediaPipe fall
+# workload (BASELINE.md) and the reference's original NTU-60 xsub matrix
+# (config/nturgbd-cross-subject/train_joint.yaml: num_class 60, V=25, M=2)
+_DATASET_ARGS = {
+    "mediapipe": dict(num_class=2, num_point=33, num_person=1,
+                      graph="mediapipe_pose"),
+    "ntu": dict(num_class=60, num_point=25, num_person=2,
+                graph="ntu_rgb_d"),
+}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
@@ -34,6 +45,13 @@ def main() -> None:
                         "params/BN-stats/optimizer fp32, +30%% train "
                         "throughput, convergence-parity-tested) or "
                         "'float32' for the exact-reference-precision path")
+    parser.add_argument("--dataset", default="mediapipe",
+                        choices=["mediapipe", "ntu"],
+                        help="train/eval modes: mediapipe fall config "
+                        "(V=33, M=1, 2 classes — the BASELINE.md "
+                        "workload, default) or the NTU-60 xsub shape "
+                        "(V=25, M=2, 60 classes — the reference's "
+                        "original benchmark matrix)")
     parser.add_argument("--devices", type=int, default=0,
                         help="scaling/edges modes: largest device count "
                         "to scale to (0 = all local devices). On a real "
@@ -107,9 +125,9 @@ def main() -> None:
         steps = 3
     else:
         config = ModelConfig(
-            num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
             compute_dtype=args.compute_dtype,
-        activation_dtype=args.activation_dtype)
+            activation_dtype=args.activation_dtype,
+            **_DATASET_ARGS[args.dataset])
         batch_size, t = args.batch_size, 300
         steps = args.steps
 
@@ -318,13 +336,14 @@ def _bench_eval(args):
     from shift_gcn_tpu.models.shift_gcn import ModelConfig, apply, init_params
 
     config = ModelConfig(
-        num_class=2, num_point=33, num_person=1, graph="mediapipe_pose",
         compute_dtype=args.compute_dtype,
-        activation_dtype=args.activation_dtype)
+        activation_dtype=args.activation_dtype,
+        **_DATASET_ARGS[args.dataset])
     params, state = init_params(jax.random.key(0), config)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
-        (args.batch_size, 3, 300, 33, 1)), jnp.float32)
+        (args.batch_size, 3, 300, config.num_point,
+         config.num_person)), jnp.float32)
     fwd = jax.jit(lambda p, s, xx: apply(p, s, xx, config,
                                          training=False)[0])
     # median of 3 windows, same relay-stall rationale as the train bench
