@@ -63,13 +63,15 @@ def main() -> None:
                         "ring: sharded nodes + ppermute pipeline)")
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
-                                 "edges", "fourstream"],
+                                 "edges", "fourstream", "io"],
                         help="train step clips/s (default), eval clips/s, "
                         "sparse-aggregation edges/s, data-parallel "
                         "scaling efficiency across the local mesh, "
                         "edge-partitioned aggregation scaling "
-                        "(edges/s over 1..N devices), or "
-                        "concurrent four-stream training stream-clips/s")
+                        "(edges/s over 1..N devices), "
+                        "concurrent four-stream training stream-clips/s, "
+                        "or host input-pipeline clips/s (numpy mmap "
+                        "gather vs the native C++ thread-pool loader)")
     args = parser.parse_args()
     if args.activation_dtype in ("float32", "fp32", "none", ""):
         args.activation_dtype = None
@@ -90,6 +92,9 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.mode == "io":
+        _bench_io(args)  # host-only: no device involved
+        return
     if not args.smoke:
         _device_sanity_check()
     if args.mode == "spmm":
@@ -524,6 +529,82 @@ def _bench_edges(args):
         "harness_smoke": smoke,
         "edges_per_sec": {str(k): round(val, 0) for k, val in eps.items()},
     }))
+
+
+def _bench_io(args):
+    """Host input-pipeline throughput: random-batch clip gather from a
+    production-shaped mmap'd .npy, numpy fancy-indexing vs the native C++
+    thread-pool loader (native/sgt_loader.cpp), including one
+    prefetch-overlapped pass for the native path (its async mode — the
+    shape BatchIterator uses in training).  Host-only; the device is
+    never touched.  The number that matters operationally: host clips/s
+    must exceed device train clips/s (~400 on one v5e) or the input
+    pipeline becomes the bottleneck."""
+    import tempfile
+
+    n, t, v, m = (64, 32, 33, 1) if args.smoke else (2048, 300, 33, 1)
+    batch = 8 if args.smoke else args.batch_size
+    n_batches = 4 if args.smoke else 32
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/io_bench.npy"
+        np.save(path, rng.standard_normal(
+            (n, 3, t, v, m)).astype(np.float32))
+        data = np.load(path, mmap_mode="r")
+        order = rng.integers(0, n, (n_batches, batch))
+
+        def numpy_pass():
+            t0 = time.perf_counter()
+            for i in range(n_batches):
+                np.ascontiguousarray(data[order[i]])
+            return n_batches * batch / (time.perf_counter() - t0)
+
+        numpy_cps = max(numpy_pass() for _ in range(3))
+
+        native_cps = native_async_cps = None
+        try:
+            from shift_gcn_tpu.data.native_loader import NativeClipLoader
+
+            loader = NativeClipLoader(path)
+
+            def native_pass():
+                t0 = time.perf_counter()
+                for i in range(n_batches):
+                    loader.gather(order[i].astype(np.int64))
+                return n_batches * batch / (time.perf_counter() - t0)
+
+            def native_async_pass():
+                # double-buffered: prefetch batch i+1 while "consuming" i
+                t0 = time.perf_counter()
+                loader.prefetch(order[0].astype(np.int64))
+                for i in range(n_batches):
+                    got = loader.wait()
+                    if i + 1 < n_batches:
+                        loader.prefetch(order[i + 1].astype(np.int64))
+                    assert got.shape[0] == batch
+                return n_batches * batch / (time.perf_counter() - t0)
+
+            native_cps = max(native_pass() for _ in range(3))
+            native_async_cps = max(native_async_pass() for _ in range(3))
+            loader.close()
+        except Exception as e:
+            print(f"# native loader unavailable: {type(e).__name__}: "
+                  f"{e}", flush=True)
+
+        best = max(x for x in (numpy_cps, native_cps, native_async_cps)
+                   if x is not None)
+        print(json.dumps({
+            "metric": "io_clips_per_sec",
+            "value": round(best, 1),
+            "unit": "clips/s",
+            # operational bar: feed the ~400 clips/s device train step
+            "vs_baseline": round(best / 400.0, 2),
+            "numpy_mmap": round(numpy_cps, 1),
+            "native_gather": (round(native_cps, 1)
+                              if native_cps is not None else None),
+            "native_prefetch": (round(native_async_cps, 1)
+                                if native_async_cps is not None else None),
+        }))
 
 
 def _bench_scaling(args):

@@ -65,3 +65,15 @@ def test_edges_mode_reports_scaling(strategy):
     assert "1" in rec["edges_per_sec"]
     assert rec["substrate"] == "virtual-cpu"
     assert rec["harness_smoke"] is True
+
+
+@pytest.mark.slow
+def test_io_mode_reports_loader_throughput():
+    rec = _run_bench("--mode", "io")
+    assert rec["metric"] == "io_clips_per_sec"
+    assert rec["value"] > 0
+    assert rec["numpy_mmap"] > 0
+    # native loader is available in this environment; both its paths
+    # must report (None only when the C++ extension cannot build)
+    assert rec["native_gather"] is None or rec["native_gather"] > 0
+    assert rec["native_prefetch"] is None or rec["native_prefetch"] > 0
