@@ -193,12 +193,23 @@ def main() -> None:
         reps.append(clips_per_sec)
         if len(reps) >= windows:
             break
+    if not reps:
+        # every window read as a zombie no-op and in-process sanity
+        # checks kept "passing": the established recovery is a fresh
+        # process (new worker claim), not emitting NaN JSON
+        _reexec_fresh_process()
     clips_per_sec = float(np.median(reps))
+    # reference train baseline: 47 clips/s is the MediaPipe fall workload
+    # (BASELINE.md); the fork publishes no NTU-mode throughput, so that
+    # shape reports vs_baseline 0 rather than a ratio against the wrong
+    # workload's number
+    base = 47.0 if args.dataset == "mediapipe" else None
     print(json.dumps({
         "metric": "train_clips_per_sec",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / 47.0, 2),
+        "vs_baseline": round(clips_per_sec / base, 2) if base else 0,
+        "dataset": args.dataset,
         "window_reps": [round(r, 1) for r in reps],
         "roofline": _roofline(config, t, batch_size,
                               batch_size / clips_per_sec, train=True),
@@ -356,11 +367,15 @@ def _bench_eval(args):
     dts = [_timeit(fwd, params, state, x, steps=args.steps)
            for _ in range(windows)]
     clips = args.batch_size / float(np.median(dts))
+    # 473 clips/s is the MediaPipe-workload eval baseline (BASELINE.md);
+    # no NTU-mode number is published
+    base = 473.0 if args.dataset == "mediapipe" else None
     print(json.dumps({
         "metric": "eval_clips_per_sec",
         "value": round(clips, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips / 473.0, 2),
+        "vs_baseline": round(clips / base, 2) if base else 0,
+        "dataset": args.dataset,
         "window_reps": [round(args.batch_size / d, 1) for d in dts],
     }))
 
@@ -562,6 +577,7 @@ def _bench_io(args):
         numpy_cps = max(numpy_pass() for _ in range(3))
 
         native_cps = native_async_cps = None
+        loader = None
         try:
             from shift_gcn_tpu.data.native_loader import NativeClipLoader
 
@@ -586,10 +602,14 @@ def _bench_io(args):
 
             native_cps = max(native_pass() for _ in range(3))
             native_async_cps = max(native_async_pass() for _ in range(3))
-            loader.close()
         except Exception as e:
-            print(f"# native loader unavailable: {type(e).__name__}: "
+            stage = ("unavailable" if loader is None
+                     else "ran but failed partway")
+            print(f"# native loader {stage}: {type(e).__name__}: "
                   f"{e}", flush=True)
+        finally:
+            if loader is not None:
+                loader.close()
 
         best = max(x for x in (numpy_cps, native_cps, native_async_cps)
                    if x is not None)

@@ -76,14 +76,22 @@ python -m shift_gcn_tpu.data.gendata.modality_cli \
 
 # ---------------------------------------------------------------- stage 3
 # 4-stream training from the shipped reference-matrix configs
+# synthetic mode compresses eval/save to the last epoch (chain smoke);
+# real mode keeps the configs' eval_interval=5 — best_acc.pkl must hold
+# the BEST-epoch scores (the protocol the BASELINE numbers come from,
+# reference main.py:496-502), not the final epoch's
+if [[ "${MODE}" == real ]]; then
+    INTERVALS=()
+else
+    INTERVALS=(--eval_interval "${EPOCHS}" --save_interval "${EPOCHS}")
+fi
 for stream in joint bone joint_motion bone_motion; do
     echo "=== training ${stream} (${EPOCHS} epochs) ==="
     python -m shift_gcn_tpu.cli.train \
         --config "configs/mediapipe/train_${stream}.yaml" \
         --work_dir "${WORK_DIR}" \
         --model_saved_name "${WORK_DIR}/save_models" \
-        --num_epoch "${EPOCHS}" --eval_interval "${EPOCHS}" \
-        --save_interval "${EPOCHS}" \
+        --num_epoch "${EPOCHS}" ${INTERVALS[@]+"${INTERVALS[@]}"} \
         --train_feeder_args "{data_path: ${DATA_DIR}/train_data_${stream}.npy, label_path: ${DATA_DIR}/train_label.pkl}" \
         --test_feeder_args "{data_path: ${DATA_DIR}/val_data_${stream}.npy, label_path: ${DATA_DIR}/val_label.pkl}"
 done

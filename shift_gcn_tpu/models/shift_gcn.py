@@ -385,7 +385,14 @@ def _apply_shift_tcn(
     elif (_os.environ.get("SGT_TCN_FREQ_FUSE", "eval")
             in (("1", "eval") if not training else ("1",))
             and _ts_mod.ASSUME_XPOS_ZERO
-            and _ts_mod.get_impl() == "dft"):
+            and _ts_mod.get_impl() == "dft"
+            and compute_dtype is None):
+        # compute_dtype (matmul-input-only casting) is honored by the
+        # unfused pointwise_conv but not by the fused frequency pass
+        # (which runs uniformly in the activation dtype, like the other
+        # dft lowerings) — fall back to the composition so that mode's
+        # contract holds.  Production low precision is activation_dtype,
+        # where the fused pass is already bf16 end to end.
         # shift_in + temporal_linear in one shared Fourier-basis pass
         # (ops/temporal_shift.temporal_shift_linear_dft): one fewer
         # matmul + one fewer (N,T,V,C) materialization per block.

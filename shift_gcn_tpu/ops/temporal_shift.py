@@ -85,6 +85,17 @@ def get_impl() -> str:
 ASSUME_XPOS_ZERO = _os.environ.get("SGT_EXACT_XPOS", "0") != "1"
 
 
+def constraint_step(gy_raw: jax.Array) -> jax.Array:
+    """The reference constraint kernel's position update
+    (shift_cuda_kernel.cu:370-395): a fixed-magnitude 0.01 step in the
+    direction of the raw inner product's SIGN, or the 1e-4 epsilon step
+    when it is exactly zero.  Shared by every lowering's backward."""
+    mag = jnp.abs(gy_raw)
+    return jnp.where(mag != 0,
+                     gy_raw / jnp.where(mag != 0, mag, 1.0) * 0.01,
+                     1e-4)
+
+
 def _hat_taps(pos: jax.Array, lo: int, hi: int) -> jax.Array:
     """(Q, C) interpolation taps: tap[q, c] = max(0, 1 - |pos[c] - (lo+q)|)."""
     k = jnp.arange(lo, hi + 1, dtype=pos.dtype)[:, None]     # (Q, 1)
@@ -535,10 +546,7 @@ def _temporal_shift_bwd(stride, residuals, g):
     if xh is not None:  # dft fast path (see _dft_shift_bwd)
         grad_input, gy_raw = _dft_shift_bwd(
             xh, ypos_eff, stride, g, x.shape[1])
-        dr = jnp.abs(gy_raw)
-        gy = jnp.where(dr != 0,
-                       gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                       1e-4)
+        gy = constraint_step(gy_raw)
         return grad_input, jnp.zeros_like(xpos), gy.astype(ypos_eff.dtype)
 
     # grad_input: true VJP of the depthwise conv w.r.t. x (the reference's
@@ -566,10 +574,7 @@ def _temporal_shift_bwd(stride, residuals, g):
         (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
 
     # constraint (cu:370-395): fixed-magnitude steps, xpos frozen.
-    dr = jnp.abs(gy_raw)
-    gy = jnp.where(dr != 0,
-                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                   1e-4)
+    gy = constraint_step(gy_raw)
     gx = jnp.zeros_like(xpos)
     return grad_input, gx, gy
 
@@ -708,10 +713,7 @@ def _tsl_dft_bwd(residuals, g):
     contrib = dr[None, :, None, :] * re_xg - di[None, :, None, :] * im_xg
     gy_raw = jnp.sum(wv[None, :, None, None] * contrib,
                      axis=(0, 1, 2)) / n
-    dmag = jnp.abs(gy_raw)
-    gy = jnp.where(dmag != 0,
-                   gy_raw / jnp.where(dmag != 0, dmag, 1.0) * 0.01,
-                   1e-4)
+    gy = constraint_step(gy_raw)
     return (grad_x, jnp.zeros_like(xpos), gy.astype(ypos.dtype),
             grad_w, grad_bias)
 
@@ -793,10 +795,7 @@ def _tsl_bwd(residuals, g):
     dval_y = _shift_conv(x, dtaps_t, None, 1, -MAX_SHIFT)
     gy_raw = jnp.sum(jnp.mean(
         (dval_y * g_h).astype(jnp.float32), axis=0), axis=(0, 1))
-    dr = jnp.abs(gy_raw)
-    gy = jnp.where(dr != 0,
-                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                   1e-4)
+    gy = constraint_step(gy_raw)
     gx_pos = jnp.zeros_like(xpos)
     return grad_x, gx_pos, gy, grad_w, grad_b
 
@@ -912,10 +911,7 @@ def _bsl_bwd(residuals, g):
                    .astype(jnp.float32), axis=(0, 1, 2)) / n
     dm = _tap_support(dtaps_t, t)                          # (T, C)
     gy_raw = a * main + b * (jnp.sum(dm * r, axis=0) / n)
-    dr = jnp.abs(gy_raw)
-    gy = jnp.where(dr != 0,
-                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                   1e-4)
+    gy = constraint_step(gy_raw)
 
     return (grad_x, grad_a.astype(a.dtype), grad_b.astype(b.dtype),
             gy.astype(ypos.dtype), grad_w.astype(w.dtype),

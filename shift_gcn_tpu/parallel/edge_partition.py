@@ -236,6 +236,7 @@ def make_edge_sharded_train_step(
     batch_axis: str = "data",
     edge_axis: str = "model",
     apply_fn=None,
+    sharded_apply=None,
 ):
     """ST-GCN-family train step with the graph aggregation edge-partitioned
     over ``edge_axis`` and the batch sharded over ``batch_axis``.
@@ -266,9 +267,10 @@ def make_edge_sharded_train_step(
     from shift_gcn_tpu.train.optim import sgd_update
     from shift_gcn_tpu.train.state import TrainState, cross_entropy
 
-    sharded_apply = _make_edge_sharded_apply(
-        config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
-        apply_fn=apply_fn)
+    if sharded_apply is None:
+        sharded_apply = _make_edge_sharded_apply(
+            config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
+            apply_fn=apply_fn)
 
     def loss_fn(params, bn_state, data, label):
         logits, new_bn_state = sharded_apply(params, bn_state, data, True)
@@ -301,16 +303,20 @@ def make_edge_sharded_eval_step(
     batch_axis: str = "data",
     edge_axis: str = "model",
     apply_fn=None,
+    sharded_apply=None,
 ):
     """Eval-step sibling of `make_edge_sharded_train_step` (running BN
     stats, padded samples masked out of the loss).  Same contract as
     train.state.make_eval_step: (params, bn_state, batch) ->
-    (logits, loss_sum, n)."""
+    (logits, loss_sum, n).  Pass ``sharded_apply`` (from
+    `_make_edge_sharded_apply`) to share one partitioned edge list with
+    the train step instead of device-putting a second copy."""
     import jax.numpy as _jnp
 
-    sharded_apply = _make_edge_sharded_apply(
-        config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
-        apply_fn=apply_fn)
+    if sharded_apply is None:
+        sharded_apply = _make_edge_sharded_apply(
+            config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
+            apply_fn=apply_fn)
 
     def eval_step(params, bn_state, batch):
         logits, _ = sharded_apply(params, bn_state, batch["data"], False)

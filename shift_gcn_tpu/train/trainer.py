@@ -184,14 +184,20 @@ class Trainer:
                     f"edge_partition is not supported by model family "
                     f"{self.cfg.model!r} (its apply() has no edges "
                     "parameter; the stgcn family has)")
-            train_step = ep.make_edge_sharded_train_step(
-                self.model_config, self.wd_tree, self.mesh,
-                batch_axis="data", edge_axis="model",
-                apply_fn=self.family.apply)
-            eval_step = ep.make_edge_sharded_eval_step(
+            # one shard_map'd apply (one device-resident partitioned edge
+            # list) shared by both steps
+            sharded_apply = ep._make_edge_sharded_apply(
                 self.model_config, self.mesh,
                 batch_axis="data", edge_axis="model",
                 apply_fn=self.family.apply)
+            train_step = ep.make_edge_sharded_train_step(
+                self.model_config, self.wd_tree, self.mesh,
+                batch_axis="data", edge_axis="model",
+                sharded_apply=sharded_apply)
+            eval_step = ep.make_edge_sharded_eval_step(
+                self.model_config, self.mesh,
+                batch_axis="data", edge_axis="model",
+                sharded_apply=sharded_apply)
             # commit the state replicated over this mesh: restored
             # checkpoints land committed on one device, which conflicts
             # with the mesh-sharded batch/edges inside shard_map
