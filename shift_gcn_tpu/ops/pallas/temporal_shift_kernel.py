@@ -187,10 +187,9 @@ def _bwd(stride, residuals, g):
     dval_y = _run_tshift(x, ypos_eff, stride, mode="diff")
     gy_raw = jnp.sum(jnp.mean(
         (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
-    dr = jnp.abs(gy_raw)
-    gy = jnp.where(dr != 0,
-                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                   1e-4)
+    from shift_gcn_tpu.ops.temporal_shift import constraint_step
+
+    gy = constraint_step(gy_raw)
     return grad_input, jnp.zeros_like(xpos), gy.astype(ypos_eff.dtype)
 
 

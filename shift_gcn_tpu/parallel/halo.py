@@ -200,10 +200,9 @@ def _sts_bwd(stride, axis_name, batch_axes, residuals, g):
     # returned cotangent is already device-invariant (globally reduced
     # above), and JAX's VMA-aware shard_map AD passes invariant cotangents
     # of replicated inputs through unscaled — so this IS the final grad.
-    dr = jnp.abs(gy_raw)
-    gy = jnp.where(dr != 0,
-                   gy_raw / jnp.where(dr != 0, dr, 1.0) * 0.01,
-                   1e-4).astype(ypos_eff.dtype)
+    from shift_gcn_tpu.ops.temporal_shift import constraint_step
+
+    gy = constraint_step(gy_raw).astype(ypos_eff.dtype)
     gx = jnp.zeros_like(xpos)
     return grad_input, gx, gy
 
