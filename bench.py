@@ -45,6 +45,15 @@ def main() -> None:
                         "params/BN-stats/optimizer fp32, +30%% train "
                         "throughput, convergence-parity-tested) or "
                         "'float32' for the exact-reference-precision path")
+    parser.add_argument("--transfer-dtype", default="auto",
+                        choices=["auto", "bfloat16", "float32"],
+                        help="host->device batch dtype for the train "
+                        "bench (mirrors the Trainer's transfer_dtype "
+                        "knob): 'auto' = bfloat16 when activations are "
+                        "bfloat16.  Halves the per-step transfer bytes "
+                        "— the train-side bottleneck when the "
+                        "interconnect is slow (probe44: median 392 vs "
+                        "247 clips/s in a slow-relay period)")
     parser.add_argument("--dataset", default="mediapipe",
                         choices=["mediapipe", "ntu"],
                         help="train/eval modes: mediapipe fall config "
@@ -138,14 +147,33 @@ def main() -> None:
 
     state = create_train_state(jax.random.key(0), config)
     wd_tree = build_weight_decay_tree(state.params)
-    train_step = jax.jit(make_train_step(config, wd_tree),
-                         donate_argnums=(0,))
+    step_fn = make_train_step(config, wd_tree)
+
+    # transfer dtype (mirrors Trainer._resolve_transfer_dtype): batch
+    # ships compact, is cast back to fp32 on device
+    td = args.transfer_dtype
+    if td == "auto":
+        td = ("bfloat16" if config.activation_dtype == "bfloat16"
+              else "float32")
+    if td == "bfloat16":
+        import ml_dtypes
+
+        transfer_np = ml_dtypes.bfloat16
+        _inner = step_fn
+
+        def step_fn(s, batch, lr_):
+            return _inner(
+                s, dict(batch, data=batch["data"].astype(jnp.float32)),
+                lr_)
+    else:
+        transfer_np = np.float32
+    train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     host_batch = {
         "data": rng.standard_normal(
             (batch_size, 3, t, config.num_point, config.num_person)
-        ).astype(np.float32),
+        ).astype(transfer_np),
         "label": rng.integers(0, config.num_class, batch_size).astype(np.int32),
     }
     lr = jnp.asarray(0.1, jnp.float32)
@@ -210,6 +238,7 @@ def main() -> None:
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / base, 2) if base else 0,
         "dataset": args.dataset,
+        "transfer_dtype": td,
         "window_reps": [round(r, 1) for r in reps],
         "roofline": _roofline(config, t, batch_size,
                               batch_size / clips_per_sec, train=True),

@@ -65,6 +65,18 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None     # e.g. bfloat16 for matmul inputs
     activation_dtype: Optional[str] = None  # e.g. bfloat16 whole-backbone
                                             # activations (BN stats fp32)
+    transfer_dtype: str = "auto"            # host->device batch dtype:
+                                            # 'auto' (bfloat16 when
+                                            # activation_dtype is bfloat16,
+                                            # else float32), 'bfloat16', or
+                                            # 'float32'.  bf16 halves the
+                                            # per-step transfer bytes (the
+                                            # train-side bottleneck on slow
+                                            # interconnects; docs/PERF.md);
+                                            # data is cast back to fp32 on
+                                            # device, so the only numerics
+                                            # effect is input quantization
+                                            # (docs/PARITY.md)
     mesh_shape: Optional[List[int]] = None  # (data, model); None = all-data
     shard_time: bool = False                # sequence parallelism: shard T
                                             # over the 'model' mesh axis

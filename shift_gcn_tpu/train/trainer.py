@@ -136,8 +136,30 @@ class Trainer:
                                           "*.pkl")):
             os.remove(pkl)
 
+    def _resolve_transfer_dtype(self):
+        """np dtype for the host->device batch transfer.  'auto': bf16
+        when the model runs bf16 activations (halves the per-step relay
+        bytes — the train-side bottleneck on slow interconnects,
+        docs/PERF.md), fp32 otherwise; data is cast back to fp32 on
+        device so the only numerics effect is input quantization
+        (docs/PARITY.md known-deltas)."""
+        td = self.cfg.transfer_dtype
+        if td == "auto":
+            act = getattr(self.model_config, "activation_dtype", None)
+            td = "bfloat16" if act == "bfloat16" else "float32"
+        if td in ("float32", "fp32"):
+            return np.float32
+        if td == "bfloat16":
+            import ml_dtypes
+
+            return ml_dtypes.bfloat16
+        raise ValueError(
+            f"transfer_dtype={self.cfg.transfer_dtype!r}: expected "
+            "'auto', 'bfloat16' or 'float32'")
+
     def _build_steps(self) -> None:
         donate = (0,) if self.cfg.donate_state else ()
+        self._transfer_dtype = self._resolve_transfer_dtype()
         if self.cfg.fourstream:
             from shift_gcn_tpu.train import fourstream as fs
 
@@ -234,6 +256,21 @@ class Trainer:
                 self.model_config, self.wd_tree, apply_fn=self.family.apply)
             eval_step = state_lib.make_eval_step(
                 self.model_config, apply_fn=self.family.apply)
+        if self._transfer_dtype is not np.float32:
+            # batch arrives in the compact transfer dtype; restore fp32 on
+            # DEVICE before the step proper (models/oracles see fp32)
+            def _cast(batch):
+                return dict(batch,
+                            data=batch["data"].astype(jnp.float32))
+
+            _train_inner, _eval_inner = train_step, eval_step
+
+            def train_step(state, batch, lr):
+                return _train_inner(state, _cast(batch), lr)
+
+            def eval_step(params, bn_state, batch):
+                return _eval_inner(params, bn_state, _cast(batch))
+
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
         # sequence parallelism: transfer batches directly into the
@@ -377,7 +414,7 @@ class Trainer:
             except StopIteration:
                 return None
             return mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
-                "data": data.astype(np.float32),
+                "data": data.astype(self._transfer_dtype),
                 "label": label,
             })
 
@@ -470,7 +507,7 @@ class Trainer:
         try:
             for data, label, index, mask in it.epoch(0):
                 batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
-                    "data": data.astype(np.float32),
+                    "data": data.astype(self._transfer_dtype),
                     "label": label,
                     "mask": mask,
                 })
@@ -565,7 +602,7 @@ class Trainer:
         try:
             for data, label, index, mask in it.epoch(0):
                 batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
-                    "data": data.astype(np.float32),
+                    "data": data.astype(self._transfer_dtype),
                     "label": label,
                     "mask": mask,
                 })

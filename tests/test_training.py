@@ -221,3 +221,64 @@ def test_batch_size_must_divide_mesh(tmp_path):
     )
     with pytest.raises(ValueError, match="divisible"):
         Trainer(cfg)
+
+
+class TestTransferDtype:
+    """transfer_dtype knob: 'auto' picks bf16 exactly when the model runs
+    bf16 activations; the host batch ships compact and the step casts it
+    back to fp32 on device (docs/PARITY.md known-deltas)."""
+
+    def _trainer(self, tmp_path, name, **cfg_kw):
+        import jax
+        from shift_gcn_tpu.train import state as state_lib
+        from shift_gcn_tpu.train.config import ExperimentConfig
+        from shift_gcn_tpu.train.optim import build_weight_decay_tree
+        from shift_gcn_tpu.train.trainer import Trainer
+
+        data_path, label_path = _write_synthetic_dataset(tmp_path)
+        cfg = ExperimentConfig(
+            Experiment_name=name,
+            work_dir=str(tmp_path / name / "w"),
+            model_saved_name=str(tmp_path / name / "s"),
+            train_feeder_args={"data_path": data_path,
+                               "label_path": label_path},
+            test_feeder_args={"data_path": data_path,
+                              "label_path": label_path},
+            batch_size=8, test_batch_size=8, num_epoch=1, **cfg_kw)
+        tr = Trainer(cfg)
+        import dataclasses
+        tr.model_config = dataclasses.replace(
+            _tiny_config(),
+            activation_dtype=cfg_kw.get("activation_dtype"))
+        tr.state = state_lib.create_train_state(
+            jax.random.key(0), tr.model_config)
+        tr.wd_tree = build_weight_decay_tree(tr.state.params)
+        tr._build_steps()
+        return tr
+
+    def test_auto_is_fp32_without_bf16_activations(self, tmp_path):
+        tr = self._trainer(tmp_path, "fp32auto")
+        assert tr._transfer_dtype is np.float32
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+
+    def test_auto_is_bf16_with_bf16_activations(self, tmp_path):
+        import ml_dtypes
+
+        tr = self._trainer(tmp_path, "bf16auto",
+                           activation_dtype="bfloat16")
+        assert tr._transfer_dtype is ml_dtypes.bfloat16
+        m = tr.train_epoch(0)
+        assert np.isfinite(m["loss"])
+        acc = tr.evaluate(0)
+        assert 0.0 <= acc <= 1.0
+
+    def test_explicit_float32_overrides_auto(self, tmp_path):
+        tr = self._trainer(tmp_path, "fp32explicit",
+                           activation_dtype="bfloat16",
+                           transfer_dtype="float32")
+        assert tr._transfer_dtype is np.float32
+
+    def test_bad_value_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            self._trainer(tmp_path, "bad", transfer_dtype="int8")
