@@ -458,12 +458,29 @@ def _bench_fourstream(args):
     state4 = fs.create_fourstream_state(jax.random.key(0), config)
     wd = build_weight_decay_tree(
         jax.tree_util.tree_map(lambda x: x[0], state4.params))
-    step = jax.jit(fs.make_fourstream_train_step(config, wd, graph),
-                   donate_argnums=(0,))
+    step_fn = fs.make_fourstream_train_step(config, wd, graph)
+    # transfer dtype, as in the default train bench (Trainer parity)
+    td = args.transfer_dtype
+    if td == "auto":
+        td = ("bfloat16" if config.activation_dtype == "bfloat16"
+              else "float32")
+    if td == "bfloat16":
+        import ml_dtypes
+
+        transfer_np = ml_dtypes.bfloat16
+        _inner4 = step_fn
+
+        def step_fn(s, batch, lr_):
+            return _inner4(
+                s, dict(batch, data=batch["data"].astype(jnp.float32)),
+                lr_)
+    else:
+        transfer_np = np.float32
+    step = jax.jit(step_fn, donate_argnums=(0,))
     rng = np.random.default_rng(0)
     host_batch = {
         "data": rng.standard_normal(
-            (args.batch_size, 3, 300, 33, 1)).astype(np.float32),
+            (args.batch_size, 3, 300, 33, 1)).astype(transfer_np),
         "label": rng.integers(0, 2, args.batch_size).astype(np.int32),
     }
     lr = jnp.asarray(0.1, jnp.float32)
