@@ -72,7 +72,7 @@ def main() -> None:
                         "ring: sharded nodes + ppermute pipeline)")
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
-                                 "edges", "fourstream", "io"],
+                                 "edges", "fourstream", "io", "serve"],
                         help="train step clips/s (default), eval clips/s, "
                         "sparse-aggregation edges/s, data-parallel "
                         "scaling efficiency across the local mesh, "
@@ -120,6 +120,9 @@ def main() -> None:
         return
     if args.mode == "fourstream":
         _bench_fourstream(args)
+        return
+    if args.mode == "serve":
+        _bench_serve(args)
         return
 
     import jax
@@ -589,6 +592,70 @@ def _bench_edges(args):
         "substrate": substrate,
         "harness_smoke": smoke,
         "edges_per_sec": {str(k): round(val, 0) for k, val in eps.items()},
+    }))
+
+
+def _bench_serve(args):
+    """Serving-path latency/throughput: the AOT-exported StableHLO eval
+    artifact (inference/export.py, weights baked), round-tripped through
+    serialize/deserialize exactly as a serving host would load it, then
+    timed per batch.  Reports p50/p95 batch latency and clips/s next to
+    the live-jit eval for the same graph — the compile-once artifact
+    should match live eval throughput (same XLA executable under the
+    hood), proving export costs nothing at run time."""
+    import jax
+
+    from shift_gcn_tpu.models.shift_gcn import (ModelConfig, apply,
+                                                init_params)
+    from shift_gcn_tpu.inference.export import (export_eval_baked,
+                                                load_exported)
+
+    if args.smoke:
+        config = ModelConfig(
+            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+            activation_dtype=args.activation_dtype)
+        batch_size, seq_len, iters = 4, 64, 3
+    else:
+        config = ModelConfig(
+            activation_dtype=args.activation_dtype,
+            compute_dtype=args.compute_dtype,
+            **_DATASET_ARGS[args.dataset])
+        batch_size, seq_len, iters = args.batch_size, 300, 50
+    params, bn_state = init_params(jax.random.key(0), config)
+    blob = export_eval_baked(params, bn_state, config, batch_size,
+                             seq_len)
+    art = load_exported(blob)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.standard_normal(
+        (batch_size, config.in_channels, seq_len, config.num_point,
+         config.num_person)), jnp.float32)
+    call = jax.jit(art.call)
+    out = call(x)
+    jax.block_until_ready(out)
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(call(x))
+        lats.append(time.perf_counter() - t0)
+    lats = np.sort(np.asarray(lats))
+    clips = batch_size / float(np.median(lats))
+    live = jax.jit(lambda xx: apply(params, bn_state, xx, config,
+                                    training=False)[0])
+    live_dt = _timeit(live, x, steps=iters)
+    print(json.dumps({
+        "metric": "serve_clips_per_sec",
+        "value": round(clips, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips / 473.0, 2),
+        "artifact_bytes": len(blob),
+        "batch_latency_ms": {
+            "p50": round(float(np.median(lats)) * 1e3, 2),
+            "p95": round(float(lats[int(0.95 * (len(lats) - 1))]) * 1e3,
+                         2),
+        },
+        "live_jit_clips_per_sec": round(batch_size / live_dt, 2),
     }))
 
 

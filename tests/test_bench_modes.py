@@ -79,3 +79,14 @@ def test_io_mode_reports_loader_throughput():
     assert rec["native_gather"] is not None and rec["native_gather"] > 0
     assert (rec["native_prefetch"] is not None
             and rec["native_prefetch"] > 0)
+
+
+@pytest.mark.slow
+def test_serve_mode_roundtrips_artifact():
+    rec = _run_bench("--mode", "serve")
+    assert rec["metric"] == "serve_clips_per_sec"
+    assert rec["value"] > 0
+    assert rec["artifact_bytes"] > 0
+    assert rec["batch_latency_ms"]["p50"] > 0
+    # the deserialized artifact is the same XLA program as live jit
+    assert rec["live_jit_clips_per_sec"] > 0
