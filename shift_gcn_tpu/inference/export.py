@@ -9,9 +9,14 @@ StableHLO with compatibility guarantees.
 
 Two artifact flavors:
 - ``export_eval`` — params are *inputs*: one artifact serves any checkpoint
-  of the same architecture (weights hot-swap at call time),
+  of the same architecture (weights hot-swap at call time).  Measured
+  FASTER: weights-as-arguments runs at full live-jit speed (1566 vs 1571
+  clips/s on one v5e), while weights-as-constants executables lose ~17%
+  (1344 — XLA pins large constants to default layouts; probe50,
+  docs/PERF.md).
 - ``export_eval_baked`` — params are *baked* into the artifact as
-  constants: single self-contained file, maximal constant folding.
+  constants: single self-contained file (the `serve.py` no-checkpoint
+  contract), at the measured ~17% cost.
 
 CLI: ``python -m shift_gcn_tpu.inference.export --checkpoint <dir>
 --out model.shlo [--baked]``.
@@ -78,16 +83,10 @@ def load_exported(blob: bytes):
     return jax_export.deserialize(blob)
 
 
-def export_checkpoint(
-    checkpoint_path: str,
-    out_path: str,
-    *,
-    config: Optional[ModelConfig] = None,
-    batch_size: int = 64,
-    seq_len: int = 300,
-    baked: bool = True,
-) -> str:
-    """Load an Orbax checkpoint (or run dir) and write a .shlo artifact."""
+def restore_eval_weights(checkpoint_path: str,
+                         config: Optional[ModelConfig] = None):
+    """(params, bn_state) from an Orbax checkpoint dir or run dir —
+    shared by artifact export and inputs-flavor serving."""
     from shift_gcn_tpu.models.shift_gcn import init_params
     from shift_gcn_tpu.train.optim import init_sgd
     from shift_gcn_tpu.utils import checkpoint as ckpt_lib
@@ -108,9 +107,24 @@ def export_checkpoint(
         "meta": {"epoch": 0, "best_acc": 0.0},
     }
     payload = ckpt_lib.restore_checkpoint(path, template)
+    return payload["params"], payload["bn_state"]
+
+
+def export_checkpoint(
+    checkpoint_path: str,
+    out_path: str,
+    *,
+    config: Optional[ModelConfig] = None,
+    batch_size: int = 64,
+    seq_len: int = 300,
+    baked: bool = True,
+) -> str:
+    """Load an Orbax checkpoint (or run dir) and write a .shlo artifact."""
+    config = config or ModelConfig(
+        num_class=2, num_point=33, num_person=1, graph="mediapipe_pose")
+    params, bn_state = restore_eval_weights(checkpoint_path, config)
     exporter = export_eval_baked if baked else export_eval
-    blob = exporter(payload["params"], payload["bn_state"], config,
-                    batch_size, seq_len)
+    blob = exporter(params, bn_state, config, batch_size, seq_len)
     with open(out_path, "wb") as f:
         f.write(blob)
     return out_path

@@ -86,7 +86,10 @@ def test_serve_mode_roundtrips_artifact():
     rec = _run_bench("--mode", "serve")
     assert rec["metric"] == "serve_clips_per_sec"
     assert rec["value"] > 0
-    assert rec["artifact_bytes"] > 0
-    assert rec["batch_latency_ms"]["p50"] > 0
+    assert rec["flavor"] == "params-as-inputs"
+    assert rec["artifact_bytes"]["inputs"] > 0
+    assert rec["artifact_bytes"]["baked"] > rec["artifact_bytes"]["inputs"]
+    assert rec["baked_clips_per_sec"] > 0
+    assert rec["sync_batch_latency_ms"]["p50"] > 0
     # the deserialized artifact is the same XLA program as live jit
     assert rec["live_jit_clips_per_sec"] > 0

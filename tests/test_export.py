@@ -96,3 +96,26 @@ def test_export_checkpoint_cli_path(tmp_path):
     want, _ = apply(state.params, state.bn_state, x, cfg, training=False)
     np.testing.assert_allclose(np.asarray(art.call(x)),
                                np.asarray(want), atol=1e-5)
+
+
+def test_serve_inputs_flavor_and_baked_detection():
+    from shift_gcn_tpu.inference import serve as serve_lib
+
+    config = _cfg()
+    params, state = init_params(jax.random.key(0), config)
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((5, 3, 16, config.num_point, 1)).astype(
+        np.float32)
+
+    blob_i = export_lib.export_eval(params, state, config, 2, 16)
+    blob_b = export_lib.export_eval_baked(params, state, config, 2, 16)
+    art_i = export_lib.load_exported(blob_i)
+    art_b = export_lib.load_exported(blob_b)
+    assert not serve_lib.artifact_is_baked(art_i)
+    assert serve_lib.artifact_is_baked(art_b)
+
+    # inputs flavor scores with runtime weights; matches the baked one
+    got_i = serve_lib.score_clips(art_i, data, 2, weights=(params, state))
+    got_b = serve_lib.score_clips(art_b, data, 2)
+    assert got_i.shape == (5, config.num_class)
+    np.testing.assert_allclose(got_i, got_b, atol=1e-5)
