@@ -148,28 +148,23 @@ def main() -> None:
         batch_size, t = args.batch_size, 300
         steps = args.steps
 
+    from shift_gcn_tpu.train.transfer import (resolve_transfer_dtype,
+                                              restore_batch_fp32)
+
     state = create_train_state(jax.random.key(0), config)
     wd_tree = build_weight_decay_tree(state.params)
     step_fn = make_train_step(config, wd_tree)
 
-    # transfer dtype (mirrors Trainer._resolve_transfer_dtype): batch
-    # ships compact, is cast back to fp32 on device
-    td = args.transfer_dtype
-    if td == "auto":
-        td = ("bfloat16" if config.activation_dtype == "bfloat16"
-              else "float32")
-    if td == "bfloat16":
-        import ml_dtypes
-
-        transfer_np = ml_dtypes.bfloat16
+    # transfer dtype (the Trainer's shared policy, train/transfer.py):
+    # batch ships compact, is cast back to fp32 on device
+    transfer_np = resolve_transfer_dtype(args.transfer_dtype,
+                                         config.activation_dtype)
+    td = np.dtype(transfer_np).name
+    if transfer_np is not np.float32:
         _inner = step_fn
 
         def step_fn(s, batch, lr_):
-            return _inner(
-                s, dict(batch, data=batch["data"].astype(jnp.float32)),
-                lr_)
-    else:
-        transfer_np = np.float32
+            return _inner(s, restore_batch_fp32(batch), lr_)
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -461,24 +456,18 @@ def _bench_fourstream(args):
     state4 = fs.create_fourstream_state(jax.random.key(0), config)
     wd = build_weight_decay_tree(
         jax.tree_util.tree_map(lambda x: x[0], state4.params))
-    step_fn = fs.make_fourstream_train_step(config, wd, graph)
-    # transfer dtype, as in the default train bench (Trainer parity)
-    td = args.transfer_dtype
-    if td == "auto":
-        td = ("bfloat16" if config.activation_dtype == "bfloat16"
-              else "float32")
-    if td == "bfloat16":
-        import ml_dtypes
+    from shift_gcn_tpu.train.transfer import (resolve_transfer_dtype,
+                                              restore_batch_fp32)
 
-        transfer_np = ml_dtypes.bfloat16
+    step_fn = fs.make_fourstream_train_step(config, wd, graph)
+    # transfer dtype: the Trainer's shared policy (train/transfer.py)
+    transfer_np = resolve_transfer_dtype(args.transfer_dtype,
+                                         config.activation_dtype)
+    if transfer_np is not np.float32:
         _inner4 = step_fn
 
         def step_fn(s, batch, lr_):
-            return _inner4(
-                s, dict(batch, data=batch["data"].astype(jnp.float32)),
-                lr_)
-    else:
-        transfer_np = np.float32
+            return _inner4(s, restore_batch_fp32(batch), lr_)
     step = jax.jit(step_fn, donate_argnums=(0,))
     rng = np.random.default_rng(0)
     host_batch = {
@@ -617,7 +606,8 @@ def _bench_serve(args):
     if args.smoke:
         config = ModelConfig(
             num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
-            activation_dtype=args.activation_dtype)
+            activation_dtype=args.activation_dtype,
+            compute_dtype=args.compute_dtype)
         batch_size, seq_len, iters = 4, 64, 3
     else:
         config = ModelConfig(
@@ -651,11 +641,14 @@ def _bench_serve(args):
         lats.append(time.perf_counter() - t0)
     lats = np.sort(np.asarray(lats))
     clips = batch_size / dt_inputs
+    # 473 is the MediaPipe-workload eval baseline; no NTU number exists
+    base = 473.0 if args.dataset == "mediapipe" else None
     print(json.dumps({
         "metric": "serve_clips_per_sec",
         "value": round(clips, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips / 473.0, 2),
+        "vs_baseline": round(clips / base, 2) if base else 0,
+        "dataset": args.dataset,
         "flavor": "params-as-inputs",
         "artifact_bytes": {"inputs": len(blob_inputs),
                            "baked": len(blob_baked)},

@@ -110,6 +110,38 @@ def restore_eval_weights(checkpoint_path: str,
     return payload["params"], payload["bn_state"]
 
 
+def restore_weights_for_artifact(checkpoint_path: str, artifact):
+    """(params, bn_state) restored with the params-as-inputs ARTIFACT's
+    own input avals as the template — serves any architecture without
+    knowing its config (the artifact records every weight's shape/dtype
+    in in_avals/in_tree)."""
+    from shift_gcn_tpu.train.optim import init_sgd
+    from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+    leaves = [np.zeros(a.shape, a.dtype) for a in artifact.in_avals]
+    call_args, _kwargs = jax.tree_util.tree_unflatten(
+        artifact.in_tree, leaves)
+    if len(call_args) != 3:
+        raise ValueError(
+            "artifact does not take (params, bn_state, x) inputs — "
+            "baked artifacts need no weights")
+    params_t, bn_t, _x = call_args
+    path = checkpoint_path
+    if os.path.isdir(path) and not os.path.basename(path).isdigit():
+        latest = ckpt_lib.latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = latest
+    template = {
+        "params": params_t, "bn_state": bn_t,
+        "opt_state": init_sgd(params_t),
+        "global_step": jnp.zeros((), jnp.int32),
+        "meta": {"epoch": 0, "best_acc": 0.0},
+    }
+    payload = ckpt_lib.restore_checkpoint(path, template)
+    return payload["params"], payload["bn_state"]
+
+
 def export_checkpoint(
     checkpoint_path: str,
     out_path: str,

@@ -78,9 +78,12 @@ def main(argv=None):
             raise SystemExit(
                 "this artifact takes weights as inputs (exported with "
                 "--no-baked); pass --weights <checkpoint dir>")
-        from shift_gcn_tpu.inference.export import restore_eval_weights
+        # the artifact's own in_avals are the restore template, so ANY
+        # architecture serves without passing model flags here
+        from shift_gcn_tpu.inference.export import (
+            restore_weights_for_artifact)
 
-        weights = restore_eval_weights(args.weights)
+        weights = restore_weights_for_artifact(args.weights, artifact)
     data = np.load(args.data, mmap_mode="r")
     scores = score_clips(artifact, data, args.batch_size, weights=weights)
     np.save(args.out, scores)

@@ -137,25 +137,12 @@ class Trainer:
             os.remove(pkl)
 
     def _resolve_transfer_dtype(self):
-        """np dtype for the host->device batch transfer.  'auto': bf16
-        when the model runs bf16 activations (halves the per-step relay
-        bytes — the train-side bottleneck on slow interconnects,
-        docs/PERF.md), fp32 otherwise; data is cast back to fp32 on
-        device so the only numerics effect is input quantization
-        (docs/PARITY.md known-deltas)."""
-        td = self.cfg.transfer_dtype
-        if td == "auto":
-            act = getattr(self.model_config, "activation_dtype", None)
-            td = "bfloat16" if act == "bfloat16" else "float32"
-        if td in ("float32", "fp32"):
-            return np.float32
-        if td == "bfloat16":
-            import ml_dtypes
+        """See train/transfer.py (shared with the benches)."""
+        from shift_gcn_tpu.train.transfer import resolve_transfer_dtype
 
-            return ml_dtypes.bfloat16
-        raise ValueError(
-            f"transfer_dtype={self.cfg.transfer_dtype!r}: expected "
-            "'auto', 'bfloat16' or 'float32'")
+        return resolve_transfer_dtype(
+            self.cfg.transfer_dtype,
+            getattr(self.model_config, "activation_dtype", None))
 
     def _build_steps(self) -> None:
         donate = (0,) if self.cfg.donate_state else ()
@@ -259,17 +246,16 @@ class Trainer:
         if self._transfer_dtype is not np.float32:
             # batch arrives in the compact transfer dtype; restore fp32 on
             # DEVICE before the step proper (models/oracles see fp32)
-            def _cast(batch):
-                return dict(batch,
-                            data=batch["data"].astype(jnp.float32))
+            from shift_gcn_tpu.train.transfer import restore_batch_fp32
 
             _train_inner, _eval_inner = train_step, eval_step
 
             def train_step(state, batch, lr):
-                return _train_inner(state, _cast(batch), lr)
+                return _train_inner(state, restore_batch_fp32(batch), lr)
 
             def eval_step(params, bn_state, batch):
-                return _eval_inner(params, bn_state, _cast(batch))
+                return _eval_inner(params, bn_state,
+                                   restore_batch_fp32(batch))
 
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)

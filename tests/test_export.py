@@ -1,6 +1,8 @@
 """AOT serving export (inference/export.py): serialized StableHLO
 artifacts reproduce the live eval forward exactly."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -119,3 +121,44 @@ def test_serve_inputs_flavor_and_baked_detection():
     got_b = serve_lib.score_clips(art_b, data, 2)
     assert got_i.shape == (5, config.num_class)
     np.testing.assert_allclose(got_i, got_b, atol=1e-5)
+
+
+def test_restore_weights_for_artifact_any_architecture(tmp_path):
+    """The inputs-flavor serving path restores weights using the
+    artifact's own avals as the template — no model config needed, so a
+    non-default architecture round-trips through serve.score_clips."""
+    from shift_gcn_tpu.inference import serve as serve_lib
+    from shift_gcn_tpu.train.state import create_train_state
+    from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+    # deliberately NOT the default mediapipe config
+    cfg = ModelConfig(
+        num_class=5, num_point=25, num_person=2, graph="ntu_rgb_d",
+        blocks=(BlockSpec(3, 8, residual=False),
+                BlockSpec(8, 16, stride=2)))
+    state = create_train_state(jax.random.key(7), cfg)
+    save_dir = str(tmp_path / "save")
+    ckpt_lib.save_checkpoint(save_dir, 0, {
+        "params": state.params, "bn_state": state.bn_state,
+        "opt_state": state.opt_state, "global_step": state.global_step,
+        "meta": {"epoch": 0, "best_acc": 0.0},
+    })
+
+    blob = export_lib.export_eval(state.params, state.bn_state, cfg,
+                                  batch_size=2, seq_len=16)
+    art = export_lib.load_exported(blob)
+    params, bn_state = export_lib.restore_weights_for_artifact(
+        save_dir, art)
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((3, 3, 16, 25, 2)).astype(np.float32)
+    got = serve_lib.score_clips(art, data, 2, weights=(params, bn_state))
+    want, _ = apply(state.params, state.bn_state, jnp.asarray(data), cfg,
+                    training=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+    # baked artifacts refuse the weights path loudly
+    baked = export_lib.load_exported(export_lib.export_eval_baked(
+        state.params, state.bn_state, cfg, 2, 16))
+    with pytest.raises(ValueError, match="baked"):
+        export_lib.restore_weights_for_artifact(save_dir, baked)
