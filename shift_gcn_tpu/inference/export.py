@@ -149,9 +149,13 @@ def export_checkpoint(
     config: Optional[ModelConfig] = None,
     batch_size: int = 64,
     seq_len: int = 300,
-    baked: bool = True,
+    baked: bool = False,
 ) -> str:
-    """Load an Orbax checkpoint (or run dir) and write a .shlo artifact."""
+    """Load an Orbax checkpoint (or run dir) and write a .shlo artifact.
+
+    Default flavor is params-as-inputs — the recommended (and ~17%
+    faster, probe50) one; pass ``baked=True`` for the self-contained
+    single-file contract."""
     config = config or ModelConfig(
         num_class=2, num_point=33, num_person=1, graph="mediapipe_pose")
     params, bn_state = restore_eval_weights(checkpoint_path, config)
@@ -171,8 +175,14 @@ def main(argv=None):
     parser.add_argument("--out", required=True)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--seq-len", type=int, default=300)
-    parser.add_argument("--baked", action="store_true", default=True)
-    parser.add_argument("--no-baked", dest="baked", action="store_false")
+    parser.add_argument(
+        "--baked", action="store_true", default=False,
+        help="bake the weights into the artifact as constants: one "
+        "self-contained file, but ~17%% slower than the default "
+        "params-as-inputs flavor (XLA pins large constants to default "
+        "layouts; docs/PERF.md probe50)")
+    parser.add_argument("--no-baked", dest="baked", action="store_false",
+                        help="(default) params-as-inputs artifact")
     parser.add_argument("--num-class", type=int, default=2)
     parser.add_argument("--num-point", type=int, default=33)
     parser.add_argument("--num-person", type=int, default=1)

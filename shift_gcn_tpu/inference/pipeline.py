@@ -353,6 +353,13 @@ def run_pipeline(
         landmarks, predictor, window=window, stride=stride,
         threshold=threshold)
     report["video"] = os.path.basename(video_path)
+    # persist the scores/report JSON BEFORE the (failure-prone) video
+    # render so a render exception never loses the inference result; on
+    # render success the file is rewritten with 'annotated_video' added,
+    # so a saved report claims the video only when it actually exists
+    if output_json:
+        with open(output_json, "w") as f:
+            json.dump(report, f, indent=2)
     if output_video:
         from shift_gcn_tpu.inference.render import render_annotated_video
 
@@ -364,12 +371,9 @@ def run_pipeline(
             pixel_landmarks=pixel_landmarks(result),
             threshold=threshold)
         report["annotated_video"] = output_video
-    # dump the JSON last so the saved report matches the returned dict
-    # (including 'annotated_video', and never claiming success when the
-    # render raised)
-    if output_json:
-        with open(output_json, "w") as f:
-            json.dump(report, f, indent=2)
+        if output_json:
+            with open(output_json, "w") as f:
+                json.dump(report, f, indent=2)
     return report
 
 

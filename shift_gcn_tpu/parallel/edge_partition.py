@@ -182,7 +182,7 @@ def subset_coo_from_adjacency(adjacency: np.ndarray) -> Dict[str, np.ndarray]:
     }
 
 
-def _make_edge_sharded_apply(
+def make_edge_sharded_apply(
     config,
     mesh,
     *,
@@ -268,7 +268,7 @@ def make_edge_sharded_train_step(
     from shift_gcn_tpu.train.state import TrainState, cross_entropy
 
     if sharded_apply is None:
-        sharded_apply = _make_edge_sharded_apply(
+        sharded_apply = make_edge_sharded_apply(
             config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
             apply_fn=apply_fn)
 
@@ -309,12 +309,12 @@ def make_edge_sharded_eval_step(
     stats, padded samples masked out of the loss).  Same contract as
     train.state.make_eval_step: (params, bn_state, batch) ->
     (logits, loss_sum, n).  Pass ``sharded_apply`` (from
-    `_make_edge_sharded_apply`) to share one partitioned edge list with
+    `make_edge_sharded_apply`) to share one partitioned edge list with
     the train step instead of device-putting a second copy."""
     import jax.numpy as _jnp
 
     if sharded_apply is None:
-        sharded_apply = _make_edge_sharded_apply(
+        sharded_apply = make_edge_sharded_apply(
             config, mesh, batch_axis=batch_axis, edge_axis=edge_axis,
             apply_fn=apply_fn)
 

@@ -195,7 +195,7 @@ class Trainer:
                     "parameter; the stgcn family has)")
             # one shard_map'd apply (one device-resident partitioned edge
             # list) shared by both steps
-            sharded_apply = ep._make_edge_sharded_apply(
+            sharded_apply = ep.make_edge_sharded_apply(
                 self.model_config, self.mesh,
                 batch_axis="data", edge_axis="model",
                 apply_fn=self.family.apply)

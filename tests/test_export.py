@@ -96,7 +96,16 @@ def test_export_checkpoint_cli_path(tmp_path):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 1)), jnp.float32)
     want, _ = apply(state.params, state.bn_state, x, cfg, training=False)
-    np.testing.assert_allclose(np.asarray(art.call(x)),
+    # default flavor is params-as-inputs (the recommended, faster one)
+    np.testing.assert_allclose(
+        np.asarray(art.call(state.params, state.bn_state, x)),
+        np.asarray(want), atol=1e-5)
+    # baked opt-in still produces the self-contained (x-only) artifact
+    out_b = export_lib.export_checkpoint(
+        save_dir, str(tmp_path / "model_baked.shlo"), config=cfg,
+        batch_size=2, seq_len=16, baked=True)
+    art_b = export_lib.load_exported(open(out_b, "rb").read())
+    np.testing.assert_allclose(np.asarray(art_b.call(x)),
                                np.asarray(want), atol=1e-5)
 
 
