@@ -20,7 +20,14 @@
 #       meaningless; the artifact SHAPES are the point.
 #
 # Env knobs: DATA_DIR (./data/mediapipe), WORK_DIR (./work_dir),
-# EPOCHS (140 real / 3 synthetic), N_TRAIN/N_VAL (synthetic sizes).
+# EPOCHS (140 real / 3 synthetic), N_TRAIN/N_VAL (synthetic sizes),
+# EXTRA_TRAIN_ARGS (extra cli.train flags, word-split — test hook).
+#
+# Re-entry safe: every stream trains with `--resume auto`, so an
+# interrupted unattended run (preemption, worker crash) just reruns this
+# script — finished streams skip (their final checkpoint resumes past
+# the last epoch), the interrupted stream continues from its newest
+# checkpoint (tests/test_runbook_resume.py exercises kill + rerun).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -40,8 +47,14 @@ fi
 echo "== reproduce_accuracy: mode=${MODE} data=${DATA_DIR} epochs=${EPOCHS} =="
 
 # ---------------------------------------------------------------- stage 1
-# joint-stream data: MediaPipe extraction (real) or synthetic generator
-if [[ "${MODE}" == real ]]; then
+# joint-stream data: MediaPipe extraction (real) or synthetic generator.
+# Re-entry: if the joint artifacts already exist, skip — a rerun after an
+# interruption must not redo hours of pose extraction.
+if [[ -f "${DATA_DIR}/train_data_joint.npy" \
+      && -f "${DATA_DIR}/val_data_joint.npy" \
+      && -f "${DATA_DIR}/train_label.pkl" ]]; then
+    echo "== stage 1: joint data already present, skipping gendata =="
+elif [[ "${MODE}" == real ]]; then
     python -m shift_gcn_tpu.data.gendata.mediapipe \
         --video-dir "${VIDEO_DIR}" --out-dir "${DATA_DIR}" \
         --ntu-mode --benchmark xsub --subsample-ratio 3.0
@@ -70,9 +83,15 @@ EOF
 fi
 
 # ---------------------------------------------------------------- stage 2
-# bone + motion modality derivation (the real pipeline in both modes)
-python -m shift_gcn_tpu.data.gendata.modality_cli \
-    --data-dir "${DATA_DIR}" --graph mediapipe_pose --sets train val
+# bone + motion modality derivation (the real pipeline in both modes);
+# skipped on re-entry when the derived artifacts already exist
+if [[ -f "${DATA_DIR}/train_data_bone_motion.npy" \
+      && -f "${DATA_DIR}/val_data_bone_motion.npy" ]]; then
+    echo "== stage 2: modality artifacts already present, skipping =="
+else
+    python -m shift_gcn_tpu.data.gendata.modality_cli \
+        --data-dir "${DATA_DIR}" --graph mediapipe_pose --sets train val
+fi
 
 # ---------------------------------------------------------------- stage 3
 # 4-stream training from the shipped reference-matrix configs
@@ -85,15 +104,23 @@ if [[ "${MODE}" == real ]]; then
 else
     INTERVALS=(--eval_interval "${EPOCHS}" --save_interval "${EPOCHS}")
 fi
+# EXTRA_TRAIN_ARGS is '|'-delimited (args like --model_args carry a
+# YAML dict with spaces, so whitespace splitting would fragment them)
+EXTRA=()
+if [[ -n "${EXTRA_TRAIN_ARGS:-}" ]]; then
+    IFS='|' read -r -a EXTRA <<< "${EXTRA_TRAIN_ARGS}"
+fi
 for stream in joint bone joint_motion bone_motion; do
     echo "=== training ${stream} (${EPOCHS} epochs) ==="
     python -m shift_gcn_tpu.cli.train \
         --config "configs/mediapipe/train_${stream}.yaml" \
         --work_dir "${WORK_DIR}" \
         --model_saved_name "${WORK_DIR}/save_models" \
+        --resume auto \
         --num_epoch "${EPOCHS}" ${INTERVALS[@]+"${INTERVALS[@]}"} \
         --train_feeder_args "{data_path: ${DATA_DIR}/train_data_${stream}.npy, label_path: ${DATA_DIR}/train_label.pkl}" \
-        --test_feeder_args "{data_path: ${DATA_DIR}/val_data_${stream}.npy, label_path: ${DATA_DIR}/val_label.pkl}"
+        --test_feeder_args "{data_path: ${DATA_DIR}/val_data_${stream}.npy, label_path: ${DATA_DIR}/val_label.pkl}" \
+        ${EXTRA[@]+"${EXTRA[@]}"}
 done
 
 # ---------------------------------------------------------------- stage 4

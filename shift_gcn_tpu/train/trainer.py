@@ -57,6 +57,15 @@ class Trainer:
         except Exception:
             pass
 
+        # Resolve `resume: auto` BEFORE any overwrite cleanup so an
+        # unattended re-entry (runbook kill/rerun, elastic restart) never
+        # deletes the very checkpoint it is about to continue from.
+        resume = cfg.resume
+        if resume == "auto":
+            resume = ckpt_lib.latest_checkpoint(self.save_dir)
+            if resume:
+                self.logger.log(f"Auto-resume found checkpoint: {resume}")
+        self._resume_path = resume
         if cfg.phase == "train" and cfg.overwrite:
             self._cleanup_previous_run()
 
@@ -105,15 +114,8 @@ class Trainer:
 
         if cfg.weights:
             self._load_weights(cfg.weights, cfg.ignore_weights)
-        resume = cfg.resume
-        if resume == "auto":
-            # elastic-restart convenience: continue from the newest
-            # checkpoint if one exists, else start fresh
-            resume = ckpt_lib.latest_checkpoint(self.save_dir)
-            if resume:
-                self.logger.log(f"Auto-resume found checkpoint: {resume}")
-        if resume:
-            self._resume(resume)
+        if self._resume_path:
+            self._resume(self._resume_path)
 
         self._build_steps()
         self._load_data()
@@ -124,8 +126,10 @@ class Trainer:
 
     def _cleanup_previous_run(self) -> None:
         # reference: main.py:183-206 — remove stale checkpoints/eval pkls
-        resume_abs = (os.path.abspath(self.cfg.resume)
-                      if self.cfg.resume else None)
+        # (the RESOLVED resume path is excluded, so `resume: auto` +
+        # `overwrite: true` keeps the checkpoint it will continue from)
+        resume_abs = (os.path.abspath(self._resume_path)
+                      if self._resume_path else None)
         for path in glob.glob(os.path.join(self.save_dir, "*")):
             if resume_abs and os.path.abspath(path) == resume_abs:
                 continue
