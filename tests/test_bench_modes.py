@@ -33,6 +33,24 @@ def test_train_mode_contract():
         "model_gflops_per_clip", "mfu", "hbm_gb_per_step_lower_bound",
         "bandwidth_util"}
     assert 0 <= rec["roofline"]["mfu"] <= 1
+    # the MediaPipe workload HAS a published reference number (47 clips/s)
+    # so vs_baseline must be a real ratio with its source named
+    assert rec["vs_baseline"] is not None and rec["vs_baseline"] > 0
+    assert "BASELINE.md" in rec["baseline_source"]
+
+
+@pytest.mark.slow
+def test_train_ntu_baseline_is_null_not_zero():
+    """The fork publishes no NTU-mode throughput: the JSON must say
+    vs_baseline null + baseline_source "unpublished", never 0 (which reads
+    as "measured 0x") and never a ratio against the MediaPipe number
+    (VERDICT r3 weak item 5)."""
+    rec = _run_bench("--dataset", "ntu")
+    assert rec["metric"] == "train_clips_per_sec"
+    assert rec["dataset"] == "ntu"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] is None
+    assert rec["baseline_source"] == "unpublished"
 
 
 @pytest.mark.slow
