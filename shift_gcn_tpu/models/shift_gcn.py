@@ -19,6 +19,7 @@ the trailing channel axis on the MXU).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -29,6 +30,8 @@ import numpy as np
 from shift_gcn_tpu.graphs import get_graph
 from shift_gcn_tpu.ops.batchnorm import batch_norm, init_bn
 from shift_gcn_tpu.ops.conv import pointwise_conv, temporal_conv
+from shift_gcn_tpu.ops.lowering import Lowering
+from shift_gcn_tpu.ops.lowering import resolve as resolve_lowering
 from shift_gcn_tpu.ops.spatial_shift import shift_gcn_transform
 from shift_gcn_tpu.ops.temporal_shift import (
     temporal_shift, temporal_shift_linear)
@@ -87,6 +90,15 @@ class ModelConfig:
     # use the fused Pallas kernel for the spatial shift-gcn transform
     # (single HBM pass for shift->gate->matmul->shift)
     use_pallas: bool = False
+    # lowering / fusion selection (ops/lowering.py) — which temporal-shift
+    # and spatial-transform lowerings, fusion passes, BN precision, and
+    # tap radius this model compiles with.  Part of the (hashable) config,
+    # so it is a static piece of every jit cache key that closes over the
+    # config: two models with different lowerings coexist in one process.
+    # None = resolve from the SGT_* env overrides / defaults at trace
+    # time; a set env var also overrides an explicit value here (probe
+    # escape hatch — precedence: env > config > default).
+    lowering: Optional[Lowering] = None
 
     @property
     def dtype(self) -> Optional[jnp.dtype]:
@@ -246,11 +258,14 @@ def _apply_shift_gcn(
     axis_name: Optional[str],
     compute_dtype,
     use_pallas: bool = False,
+    low: Optional[Lowering] = None,
 ) -> Tuple[jax.Array, State]:
     """Spatial block (reference: model/shift_gcn.py:121-142).
 
     x: (N, T, V, C_in) -> (N, T, V, C_out).
     """
+    low = resolve_lowering(low)
+    lp = low.bn_lp if training else low.bn_lp_eval
     n, t, v, cin = x.shape
     if use_pallas:
         from shift_gcn_tpu.ops.pallas.shift_gcn_kernel import fused_shift_gcn
@@ -267,6 +282,8 @@ def _apply_shift_gcn(
             params["Linear_bias"],
             params["Feature_Mask"],
             compute_dtype=compute_dtype,
+            impl=low.sgcn_impl,
+            sshift_impl=low.sshift_impl,
         )
     # BatchNorm1d over (V*C_out) features with stats over N*T — computed in
     # 4D with a (V, C) feature shape (identical math; avoids the trailing
@@ -275,7 +292,7 @@ def _apply_shift_gcn(
     cout = h.shape[-1]
     h, bn_state = batch_norm(
         h, params["bn"], state["bn"], reduce_axes=(0, 1),
-        training=training, axis_name=axis_name)
+        training=training, axis_name=axis_name, lp=lp)
 
     new_state: State = {"bn": bn_state}
     if "down" in params:
@@ -284,7 +301,8 @@ def _apply_shift_gcn(
             compute_dtype=compute_dtype)
         res, down_bn_state = batch_norm(
             res, params["down"]["bn"], state["down"]["bn"],
-            reduce_axes=(0, 1, 2), training=training, axis_name=axis_name)
+            reduce_axes=(0, 1, 2), training=training, axis_name=axis_name,
+            lp=lp)
         new_state["down"] = {"bn": down_bn_state}
     else:
         res = x
@@ -302,6 +320,7 @@ def _apply_shift_tcn(
     compute_dtype,
     time_axis: Optional[str] = None,
     batch_axes: Tuple[str, ...] = (),
+    low: Optional[Lowering] = None,
 ) -> Tuple[jax.Array, State]:
     """Temporal block (reference: model/shift_gcn.py:65-74).
 
@@ -310,16 +329,21 @@ def _apply_shift_tcn(
     With ``time_axis`` set (T sharded over that mesh axis inside a
     shard_map), the temporal shifts run as halo-exchange ops
     (parallel/halo.py) with the same constraint VJP.
+
+    ``low`` selects the lowering/fusion paths (ops/lowering.py); None
+    resolves from the SGT_* env overrides / defaults.
     """
     import importlib
-    import os as _os
+
+    low = resolve_lowering(low)
+    lp = low.bn_lp if training else low.bn_lp_eval
 
     if time_axis is not None:
         from shift_gcn_tpu.parallel.halo import sharded_temporal_shift_train
 
         h, bn_state = batch_norm(
             x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
-            training=training, axis_name=axis_name)
+            training=training, axis_name=axis_name, lp=lp)
         h = sharded_temporal_shift_train(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1,
             time_axis, batch_axes)
@@ -333,25 +357,24 @@ def _apply_shift_tcn(
             stride, time_axis, batch_axes)
         h, bn2_state = batch_norm(
             h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
-            training=training, axis_name=axis_name)
+            training=training, axis_name=axis_name, lp=lp)
         return h, {"bn": bn_state, "bn2": bn2_state}
     # NB: must be importlib — `shift_gcn_tpu.ops` re-exports the
     # `temporal_shift` *function*, shadowing the submodule name
     _ts_mod = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
 
-    # SGT_TSHIFT_IMPL=pallas swaps in the VMEM 2-tap kernel (same
+    # tshift_impl="pallas" swaps in the VMEM 2-tap kernel (same
     # semantics + constraint VJP; requires the xpos-zero lowering)
-    if (_os.environ.get("SGT_TSHIFT_IMPL") == "pallas"
-            and _ts_mod.ASSUME_XPOS_ZERO):
+    if low.tshift_impl == "pallas" and low.xpos_zero:
         from shift_gcn_tpu.ops.pallas.temporal_shift_kernel import (
             temporal_shift_pallas as _tshift)
     else:
-        _tshift = temporal_shift
+        _tshift = functools.partial(temporal_shift, low=low)
 
-    if (_os.environ.get("SGT_TCN_BNFOLD", "0") == "1"
-            and _ts_mod.ASSUME_XPOS_ZERO
-            and _ts_mod.get_impl() == "conv"
-            and _os.environ.get("SGT_TCN_FUSE", "0") != "1"):
+    if (low.tcn_bnfold
+            and low.xpos_zero
+            and low.tshift_impl == "conv"
+            and not low.tcn_fuse):
         # fold the BN affine through the per-channel shift into the 1x1
         # weights (ops/temporal_shift.bn_shift_linear): no normalize pass
         from shift_gcn_tpu.ops.batchnorm import bn_affine_coeffs
@@ -362,30 +385,29 @@ def _apply_shift_tcn(
         w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T  # (C, D)
         h = _ts_mod.bn_shift_linear(
             x, a_bn, b_bn, params["shift_in"]["ypos"], w2,
-            params["temporal_linear"]["bias"])
+            params["temporal_linear"]["bias"], low)
         h = jax.nn.relu(h)
         h = _tshift(
             h, params["shift_out"]["xpos"], params["shift_out"]["ypos"],
             stride)
         h, bn2_state = batch_norm(
             h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
-            training=training, axis_name=axis_name)
+            training=training, axis_name=axis_name, lp=lp)
         return h, {"bn": bn_state, "bn2": bn2_state}
 
     h, bn_state = batch_norm(
         x, params["bn"], state["bn"], reduce_axes=(0, 1, 2),
-        training=training, axis_name=axis_name)
-    if (_os.environ.get("SGT_TCN_FUSE", "0") == "1"
-            and _ts_mod.ASSUME_XPOS_ZERO):
+        training=training, axis_name=axis_name, lp=lp)
+    if low.tcn_fuse and low.xpos_zero:
         # fused shift_in + temporal_linear: one MXU conv
         w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T
         h = temporal_shift_linear(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
-            w2, params["temporal_linear"]["bias"])
-    elif (_os.environ.get("SGT_TCN_FREQ_FUSE", "eval")
+            w2, params["temporal_linear"]["bias"], low)
+    elif (str(low.tcn_freq_fuse)
             in (("1", "eval") if not training else ("1",))
-            and _ts_mod.ASSUME_XPOS_ZERO
-            and _ts_mod.get_impl() == "dft"
+            and low.xpos_zero
+            and low.tshift_impl == "dft"
             and compute_dtype is None):
         # compute_dtype (matmul-input-only casting) is honored by the
         # unfused pointwise_conv but not by the fused frequency pass
@@ -396,14 +418,14 @@ def _apply_shift_tcn(
         # shift_in + temporal_linear in one shared Fourier-basis pass
         # (ops/temporal_shift.temporal_shift_linear_dft): one fewer
         # matmul + one fewer (N,T,V,C) materialization per block.
-        # SGT_TCN_FREQ_FUSE: "eval" (default — fused in eval only, where
+        # tcn_freq_fuse: "eval" (default — fused in eval only, where
         # it measures +3.5% with zero overlap, probe37; train is a wash
         # because the backward's extra grad_W einsums offset the saving,
         # probe36), "1" (always), "0" (never).
         w2 = params["temporal_linear"]["weight"][:, :, 0, 0].T
         h = _ts_mod.temporal_shift_linear_dft(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"],
-            w2, params["temporal_linear"]["bias"])
+            w2, params["temporal_linear"]["bias"], low)
     else:
         h = _tshift(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1)
@@ -416,7 +438,7 @@ def _apply_shift_tcn(
         h, params["shift_out"]["xpos"], params["shift_out"]["ypos"], stride)
     h, bn2_state = batch_norm(
         h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
-        training=training, axis_name=axis_name)
+        training=training, axis_name=axis_name, lp=lp)
     return h, {"bn": bn_state, "bn2": bn2_state}
 
 
@@ -432,16 +454,17 @@ def _apply_block(
     use_pallas: bool = False,
     time_axis: Optional[str] = None,
     batch_axes: Tuple[str, ...] = (),
+    low: Optional[Lowering] = None,
 ) -> Tuple[jax.Array, State]:
     """TCN_GCN_unit (reference: model/shift_gcn.py:145-162)."""
     h, gcn_state = _apply_shift_gcn(
         params["gcn1"], state["gcn1"], x, training=training,
         axis_name=axis_name, compute_dtype=compute_dtype,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, low=low)
     h, tcn_state = _apply_shift_tcn(
         params["tcn1"], state["tcn1"], h, stride=spec.stride,
         training=training, axis_name=axis_name, compute_dtype=compute_dtype,
-        time_axis=time_axis, batch_axes=batch_axes)
+        time_axis=time_axis, batch_axes=batch_axes, low=low)
     new_state: State = {"gcn1": gcn_state, "tcn1": tcn_state}
     if not spec.residual:
         res = 0.0
@@ -451,13 +474,15 @@ def _apply_block(
             raise ValueError(
                 "time-sharded apply supports only k=1 residual convs "
                 "(k>1 would need its own halo exchange)")
+        low_r = resolve_lowering(low)
         res = temporal_conv(
             x, params["residual"]["conv"]["weight"],
             params["residual"]["conv"]["bias"], stride=spec.stride,
             compute_dtype=compute_dtype)
         res, res_bn_state = batch_norm(
             res, params["residual"]["bn"], state["residual"]["bn"],
-            reduce_axes=(0, 1, 2), training=training, axis_name=axis_name)
+            reduce_axes=(0, 1, 2), training=training, axis_name=axis_name,
+            lp=low_r.bn_lp if training else low_r.bn_lp_eval)
         res = res.astype(h.dtype)  # residual conv runs fp32; rejoin in the
         new_state["residual"] = {"bn": res_bn_state}  # activation dtype
     else:
@@ -494,6 +519,9 @@ def apply(
     """
     n, c, t, v, m = x.shape
     compute_dtype = config.dtype
+    # resolve the lowering ONCE per trace (env > config > default) and
+    # thread it down — no ambient reads below this point
+    low = resolve_lowering(config.lowering)
     if time_axis is not None:
         bn_axes = ((axis_name,) if isinstance(axis_name, str)
                    else tuple(axis_name or ()))
@@ -511,7 +539,8 @@ def apply(
     h = jnp.transpose(h, (0, 2, 1))                # (N, T, M*V*C)
     h, data_bn_state = batch_norm(
         h, params["data_bn"], state["data_bn"], reduce_axes=(0, 1),
-        training=training, axis_name=axis_name)
+        training=training, axis_name=axis_name,
+        lp=low.bn_lp if training else low.bn_lp_eval)
     h = h.reshape(n, t, m, v, c)
     h = jnp.transpose(h, (0, 2, 1, 3, 4)).reshape(n * m, t, v, c)
     if config.act_dtype is not None:
@@ -525,7 +554,7 @@ def apply(
             p_, s_, x_, spec, training=training,
             axis_name=axis_name, compute_dtype=compute_dtype,
             use_pallas=config.use_pallas, time_axis=time_axis,
-            batch_axes=batch_axes)
+            batch_axes=batch_axes, low=low)
         if use_remat:
             fn = jax.checkpoint(fn)
         return fn(p, s, x)
@@ -574,6 +603,10 @@ def config_from_reference_args(model_args: Dict[str, Any]) -> ModelConfig:
     graph_name = model_args.get("graph", "ntu_rgb_d")
     graph = get_graph(graph_name)
     kwargs: Dict[str, Any] = {}
+    if "lowering" in model_args:
+        from shift_gcn_tpu.ops.lowering import from_dict
+
+        kwargs["lowering"] = from_dict(model_args["lowering"])
     if "blocks" in model_args:
         kwargs["blocks"] = tuple(
             BlockSpec(int(b[0]), int(b[1]),

@@ -33,24 +33,31 @@ import os as _os
 BNParams = Dict[str, jax.Array]   # weight, bias (feature-shaped)
 BNState = Dict[str, jax.Array]    # running_mean, running_var, num_batches_tracked
 
-# SGT_BN_LP=1: keep the elementwise normalize pass in the activation dtype.
-# Stats (mean/var/running updates) are always fp32; this only changes the
-# big x*a+b pass from "upcast x to fp32, normalize, downcast" to a bf16
-# fused-multiply-add with downcast per-feature coefficients.  In-family
-# with activation_dtype=bfloat16 numerics (a, b are O(1), bf16 rel err
-# ~4e-3, same as every matmul operand on that path); no-op for fp32 x.
-# Read at trace time so tests/configs can toggle per-jit.
+# Low-precision normalize (lowering.bn_lp / bn_lp_eval; env overrides
+# SGT_BN_LP / SGT_BN_LP_EVAL): keep the elementwise normalize pass in the
+# activation dtype.  Stats (mean/var/running updates) are always fp32;
+# this only changes the big x*a+b pass from "upcast x to fp32, normalize,
+# downcast" to a bf16 fused-multiply-add with downcast per-feature
+# coefficients.  In-family with activation_dtype=bfloat16 numerics (a, b
+# are O(1), bf16 rel err ~4e-3, same as every matmul operand on that
+# path); no-op for fp32 x.  Resolved at trace time so tests/configs can
+# toggle per-jit.
 #
 # Measured (scratch/bnlp_r2.log): SLOWER in training (the bf16 FMA breaks
 # XLA's BN+neighbor bwd fusions: 312 vs 348 clips/s) but +5% in eval
 # (1488 vs 1411) — so training defaults to the fp32 pass and EVAL
-# defaults to the bf16 pass (SGT_BN_LP_EVAL=0 restores fp32 eval).
+# defaults to the bf16 pass (bn_lp_eval=False / SGT_BN_LP_EVAL=0 restores
+# fp32 eval).
 def _lp_normalize() -> bool:
-    return _os.environ.get("SGT_BN_LP", "0") == "1"
+    from shift_gcn_tpu.ops.lowering import resolve
+
+    return resolve().bn_lp
 
 
 def _lp_normalize_eval() -> bool:
-    return _os.environ.get("SGT_BN_LP_EVAL", "1") != "0"
+    from shift_gcn_tpu.ops.lowering import resolve
+
+    return resolve().bn_lp_eval
 
 
 def init_bn(num_features: int, scale: float = 1.0) -> Tuple[BNParams, BNState]:
@@ -77,11 +84,17 @@ def batch_norm(
     momentum: float = 0.1,
     eps: float = 1e-5,
     axis_name: Optional[str] = None,
+    lp: Optional[bool] = None,
 ) -> Tuple[jax.Array, BNState]:
     """Normalize x over `reduce_axes`; remaining axes form the feature shape.
 
     `params`/`state` arrays are flat (num_features,) and are reshaped to the
     feature shape implied by x and reduce_axes.
+
+    ``lp``: run the normalize pass in the activation dtype (see module
+    header).  None resolves from the lowering config / env by phase
+    (bn_lp when training, bn_lp_eval otherwise); callers holding a model
+    lowering pass it explicitly.
 
     Returns (normalized x, new state). In eval mode state is passed through.
     """
@@ -103,7 +116,8 @@ def batch_norm(
         var = fs(var)
 
     inv = jax.lax.rsqrt(var + eps)
-    lp = _lp_normalize() if training else _lp_normalize_eval()
+    if lp is None:
+        lp = _lp_normalize() if training else _lp_normalize_eval()
     if x.dtype != jnp.float32 and lp:
         # bn(x) == x*a + b with fp32-derived coefficients, evaluated in the
         # activation dtype (skips the fp32 round-trip over the big tensor)

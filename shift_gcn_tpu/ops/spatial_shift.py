@@ -50,23 +50,26 @@ def _shift_onehot(num_nodes: int, channels: int, direction: int) -> np.ndarray:
     return p
 
 
-def spatial_shift(x: jax.Array, direction: int) -> jax.Array:
+def spatial_shift(x: jax.Array, direction: int,
+                  impl: str | None = None) -> jax.Array:
     """Per-channel circular roll along the joint axis.
 
     Args:
       x: (..., V, C) array.
       direction: +1 for shift_in, -1 for shift_out.
+      impl: "gather" (take_along_axis, default), "roll" (log2(V)
+        conditional-roll decomposition — no gather op, only slices/selects
+        XLA can fuse), "onehot" (permutation matmul).  None resolves from
+        the lowering config / SGT_SSHIFT_IMPL env override
+        (ops/lowering.py).
 
     Returns:
       Shifted array, same shape.
-
-    Lowering is selected by SGT_SSHIFT_IMPL: "gather" (take_along_axis,
-    default), "roll" (log2(V) conditional-roll decomposition — no gather
-    op, only slices/selects XLA can fuse), "onehot" (permutation matmul).
     """
-    import os
+    if impl is None:
+        from shift_gcn_tpu.ops.lowering import resolve
 
-    impl = os.environ.get("SGT_SSHIFT_IMPL", "gather")
+        impl = resolve().sshift_impl
     if impl == "roll":
         return spatial_shift_roll(x, direction)
     if impl == "onehot":
@@ -116,6 +119,8 @@ def shift_gcn_transform(
     feature_mask: jax.Array,
     *,
     compute_dtype: jnp.dtype | None = None,
+    impl: str | None = None,
+    sshift_impl: str | None = None,
 ) -> jax.Array:
     """The core spatial Shift-GCN transform (shift → mask → matmul → shift).
 
@@ -123,14 +128,16 @@ def shift_gcn_transform(
     multiply by gate (tanh(mask)+1), pointwise matmul + bias, shift_out.
     BatchNorm / residual / relu live in the model layer.
 
-    Lowering selected by SGT_SGCN_IMPL: "dft" (default) evaluates the
-    circulant in the joint-axis Fourier basis (see
+    ``impl`` selects the lowering (None resolves from the lowering config
+    / SGT_SGCN_IMPL env override, ops/lowering.py): "dft" (default)
+    evaluates the circulant in the joint-axis Fourier basis (see
     `shift_gcn_transform_dft`); "circconv" folds the chain into one
     circulant MXU conv with V× dead MACs; "chain" keeps the explicit
-    gather→mul→matmul→gather sequence.  Measured (TPU v5e, batch 64,
-    T=300, bf16 activations): dft 410 train / 1297 eval clips/s vs
-    circconv 303 / 1150; fp32: dft 272/957, circconv 232/1042, chain
-    218/686 (probe23, docs/PERF.md).
+    gather→mul→matmul→gather sequence (its two shifts lower per
+    ``sshift_impl``).  Measured (TPU v5e, batch 64, T=300, bf16
+    activations): dft 410 train / 1297 eval clips/s vs circconv
+    303 / 1150; fp32: dft 272/957, circconv 232/1042, chain 218/686
+    (probe23, docs/PERF.md).
 
     Args:
       x: (..., V, C_in).
@@ -142,16 +149,17 @@ def shift_gcn_transform(
     Returns:
       (..., V, C_out).
     """
-    import os
+    if impl is None:
+        from shift_gcn_tpu.ops.lowering import resolve
 
-    impl = os.environ.get("SGT_SGCN_IMPL", "dft")
+        impl = resolve().sgcn_impl
     if impl == "dft":
         return shift_gcn_transform_dft(
             x, weight, bias, feature_mask, compute_dtype=compute_dtype)
     if impl == "circconv":
         return shift_gcn_transform_circconv(
             x, weight, bias, feature_mask, compute_dtype=compute_dtype)
-    h = spatial_shift(x, +1)
+    h = spatial_shift(x, +1, sshift_impl)
     gate = jnp.tanh(feature_mask.reshape(x.shape[-2], x.shape[-1])) + 1.0
     h = h * gate.astype(h.dtype)
     if compute_dtype is not None:
@@ -162,7 +170,7 @@ def shift_gcn_transform(
     out = out.astype(x.dtype)
     out = out + bias.astype(x.dtype).reshape(
         (1,) * (out.ndim - 1) + (out.shape[-1],))
-    return spatial_shift(out, -1)
+    return spatial_shift(out, -1, sshift_impl)
 
 
 def _circulant_mask(v: int, c: int, d: int) -> jax.Array:

@@ -42,47 +42,66 @@ Layout: channels-last (N, T, V, C); the reference uses (N, C, T=H, V=W).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-# Static temporal tap radius: taps k in [-MAX_SHIFT, MAX_SHIFT + 1].
-# Exact as long as ypos stays in [-MAX_SHIFT, MAX_SHIFT] (checked by
-# assert_in_range; the trainer checks each checkpoint epoch).  xpos taps are
-# fixed to {-1, 0, 1} since xpos receives zero gradient (constraint) and
-# only shrinks under weight decay.  Override via SGT_MAX_SHIFT: smaller
-# radius = fewer conv taps = faster, valid while |ypos| stays inside it
-# (|ypos| <= 1 at init, moves in 0.01 steps).
-import os as _os
+from shift_gcn_tpu.ops.lowering import Lowering
+from shift_gcn_tpu.ops.lowering import resolve as _resolve_low
 
-MAX_SHIFT = int(_os.environ.get("SGT_MAX_SHIFT", "8"))
-
-# Default lowering for the temporal shift.  Measured on TPU v5e (batch 64,
-# T=300, mediapipe model, dft spatial + bf16 activations, probe33 —
-# scratch/queue33.log): dft (frequency-domain, handwritten Parseval VJP)
-# trains at 415.7 clips/s vs conv 407.3; eval at least neutral.  Override
-# per-process with SGT_TSHIFT_IMPL in {conv, slice, roll, matmul, dft,
-# pallas}.  ("roll" crashes this platform's remote compile helper — see
-# CLAUDE.md; it remains available for standard backends.)
-_DEFAULT_IMPL = "dft"
+# Lowering selection (which impl, tap radius, xpos handling) is an explicit
+# per-call `low: Lowering` argument threaded down from the model config
+# (ops/lowering.py; env vars SGT_TSHIFT_IMPL / SGT_MAX_SHIFT /
+# SGT_EXACT_XPOS remain a process-wide override layer for probes).
+#
+# Semantics of the knobs:
+# - low.tshift_impl: "dft" default — measured on TPU v5e (batch 64, T=300,
+#   mediapipe model, dft spatial + bf16 activations, probe33): dft
+#   (frequency-domain, handwritten Parseval VJP) trains at 415.7 clips/s
+#   vs conv 407.3; eval at least neutral.  ("roll" crashes this platform's
+#   remote compile helper — see CLAUDE.md; it remains available for
+#   standard backends.)
+# - low.max_shift: static temporal tap radius, taps k in [-M, M + 1].
+#   Exact as long as ypos stays in [-M, M] (checked by assert_in_range;
+#   the trainer checks each checkpoint epoch).  Smaller radius = fewer
+#   conv taps = faster, valid while |ypos| stays inside it (|ypos| <= 1 at
+#   init, moves in 0.01 steps).
+# - low.xpos_zero (default on): lower the joint-axis (xpos) interpolation
+#   as the identity, making the shift a pure temporal-tap conv (1/3 the
+#   tap work).  Justified by the reference's own semantics: xpos init is
+#   U(-1e-8, 1e-8) (shift.py:42), its gradient is hard-zeroed by the
+#   constraint kernel (shift_cuda_kernel.cu:386), and weight decay only
+#   shrinks it — so |xpos| <= 1e-8 for the entire life of any run and its
+#   bilinear contribution is below fp32 rounding.  exact_xpos=True (env
+#   SGT_EXACT_XPOS=1) keeps the exact 3-tap joint-axis pass (used by the
+#   oracle parity tests, which exercise artificially large xpos).
+#
+# Back-compat process-global views (import-time env resolution).  The
+# time-sharded halo path (parallel/halo.py) and the Pallas temporal kernel
+# read MAX_SHIFT as their process-global radius.
+MAX_SHIFT = _resolve_low().max_shift
+_DEFAULT_IMPL = Lowering().tshift_impl
+ASSUME_XPOS_ZERO = _resolve_low().xpos_zero
 
 
 def get_impl() -> str:
     """Active temporal-shift lowering (env override or the default)."""
-    return _os.environ.get("SGT_TSHIFT_IMPL", _DEFAULT_IMPL)
+    return _resolve_low().tshift_impl
 
-# When set (default on), lower the joint-axis (xpos) interpolation as the
-# identity, making the shift a pure temporal-tap conv (1/3 the tap work).
-# Justified by the reference's own semantics: xpos init is U(-1e-8, 1e-8)
-# (shift.py:42), its gradient is hard-zeroed by the constraint kernel
-# (shift_cuda_kernel.cu:386), and weight decay only shrinks it — so
-# |xpos| <= 1e-8 for the entire life of any run and its bilinear
-# contribution is below fp32 rounding.  Set SGT_EXACT_XPOS=1 to keep the
-# exact 3-tap joint-axis pass (used by the oracle parity tests, which
-# exercise artificially large xpos).
-ASSUME_XPOS_ZERO = _os.environ.get("SGT_EXACT_XPOS", "0") != "1"
+
+def _effective(low: Optional[Lowering]) -> Lowering:
+    """Resolve the per-call lowering (env > explicit config > defaults).
+
+    "pallas" is dispatched at the model layer (models/shift_gcn.py); an
+    op-level call under it falls back to the conv lowering (identical
+    semantics)."""
+    low = _resolve_low(low)
+    if low.tshift_impl == "pallas":
+        low = dataclasses.replace(low, tshift_impl="conv")
+    return low
 
 
 def constraint_step(gy_raw: jax.Array) -> jax.Array:
@@ -260,9 +279,9 @@ def _joint_pass(x: jax.Array, taps_v: Optional[jax.Array]) -> jax.Array:
         for j in range(taps_v.shape[0]))
 
 
-def _dft_t_len(t_in: int) -> int:
-    """Padded circle length: no wrap for any |pos| <= MAX_SHIFT."""
-    return t_in + 2 * (MAX_SHIFT + 1)
+def _dft_t_len(t_in: int, m: int) -> int:
+    """Padded circle length: no wrap for any |pos| <= m (the tap radius)."""
+    return t_in + 2 * (m + 1)
 
 
 def _dft_point_basis(npts: int, stride: int, off: int, l: int,
@@ -336,6 +355,7 @@ def _shift_dft(
     pos: jax.Array,
     taps_v: Optional[jax.Array],
     stride: int,
+    m: int,
     mode: str = "hat",
 ) -> jax.Array:
     """Temporal shift evaluated in the time-axis Fourier basis (MXU path).
@@ -353,22 +373,22 @@ def _shift_dft(
     """
     t_in = x.shape[1]
     x = _joint_pass(x, taps_v)
-    l = _dft_t_len(t_in)
-    xh = _dft_spectrum(x, l)
-    return _dft_apply(xh, pos, stride, t_in, l, mode)
+    l = _dft_t_len(t_in, m)
+    xh = _dft_spectrum(x, l, m)
+    return _dft_apply(xh, pos, stride, t_in, l, m, mode)
 
 
-def _dft_spectrum(x: jax.Array, l: int) -> jax.Array:
+def _dft_spectrum(x: jax.Array, l: int, m: int) -> jax.Array:
     """(N, 2F, V, C) real rfft of the zero-padded time axis, as one matmul
     against the (T_in, 2F) analysis basis (padding offset folded in)."""
     basis = _dft_point_basis(
-        x.shape[1], 1, MAX_SHIFT, l, -1.0).astype(x.dtype)
+        x.shape[1], 1, m, l, -1.0).astype(x.dtype)
     return jnp.einsum("ntvc,tf->nfvc", x, basis,
                       preferred_element_type=x.dtype)
 
 
 def _dft_apply(xh: jax.Array, pos: jax.Array, stride: int, t_in: int,
-               l: int, mode: str = "hat") -> jax.Array:
+               l: int, m: int, mode: str = "hat") -> jax.Array:
     """Phase-twiddle the spectrum and synthesize at the strided outputs."""
     f = l // 2 + 1
     pr, pi = (a.astype(xh.dtype) for a in _dft_t_phase(pos, l, mode))
@@ -376,7 +396,7 @@ def _dft_apply(xh: jax.Array, pos: jax.Array, stride: int, t_in: int,
     zr = xr * pr[None, :, None, :] - xi * pi[None, :, None, :]
     zi = xr * pi[None, :, None, :] + xi * pr[None, :, None, :]
     inv_r, inv_i = (a.astype(xh.dtype) for a in _dft_inv_basis(
-        t_in // stride, stride, MAX_SHIFT, l, -1.0))
+        t_in // stride, stride, m, l, -1.0))
     return (jnp.einsum("nfvc,fs->nsvc", zr, inv_r,
                        preferred_element_type=xh.dtype)
             + jnp.einsum("nfvc,fs->nsvc", zi, inv_i,
@@ -384,7 +404,7 @@ def _dft_apply(xh: jax.Array, pos: jax.Array, stride: int, t_in: int,
 
 
 def _dft_shift_bwd(xh: jax.Array, ypos_eff: jax.Array, stride: int,
-                   g: jax.Array, t_in: int):
+                   g: jax.Array, t_in: int, m: int):
     """Handwritten VJP of the dft lowering: (grad_input, gy_raw).
 
     One analysis matmul of the cotangent G+[f] = sum_s g[s] e^{+i a_f p_s}
@@ -402,10 +422,10 @@ def _dft_shift_bwd(xh: jax.Array, ypos_eff: jax.Array, stride: int,
     difference between the dft lowering losing and winning at train time.
     """
     n = g.shape[0]
-    l = _dft_t_len(t_in)
+    l = _dft_t_len(t_in, m)
     f = l // 2 + 1
     gb = _dft_point_basis(
-        g.shape[1], stride, MAX_SHIFT, l, 1.0).astype(g.dtype)
+        g.shape[1], stride, m, l, 1.0).astype(g.dtype)
     gh = jnp.einsum("nsvc,sf->nfvc", g, gb,
                     preferred_element_type=g.dtype)             # G+ planes
     gr, gi = gh[:, :f], gh[:, f:]
@@ -413,7 +433,7 @@ def _dft_shift_bwd(xh: jax.Array, ypos_eff: jax.Array, stride: int,
     zr = gr * pr[None, :, None, :] - gi * pi[None, :, None, :]
     zi = gr * pi[None, :, None, :] + gi * pr[None, :, None, :]
     inv_r, inv_i = (a.astype(g.dtype)
-                    for a in _dft_inv_basis(t_in, 1, MAX_SHIFT, l, 1.0))
+                    for a in _dft_inv_basis(t_in, 1, m, l, 1.0))
     grad_input = (jnp.einsum("nfvc,ft->ntvc", zr, inv_r,
                              preferred_element_type=g.dtype)
                   + jnp.einsum("nfvc,ft->ntvc", zi, inv_i,
@@ -478,7 +498,7 @@ def _shift_matmul(
                       preferred_element_type=x.dtype)
 
 
-def _shift_conv(x, taps_t, taps_v, stride, t_lo):
+def _shift_conv(x, taps_t, taps_v, stride, t_lo, impl="conv"):
     # Direct-lowering choice (measured on TPU v5e, batch 64, T=300):
     #   conv : train 193 clips/s, eval 683 clips/s
     #   slice: eval 277 clips/s, backward OOMs at batch 64
@@ -487,87 +507,96 @@ def _shift_conv(x, taps_t, taps_v, stride, t_lo):
     # Known platform issue: at very small T (T//4 < tap window) the eval
     # graph faults the remote TPU worker under BOTH lowerings; use T >= 128
     # on this platform (standard clips are T=300).
-    if get_impl() == "slice":
+    if impl == "slice":
         return _shift_conv_slices(x, taps_t, taps_v, stride, t_lo)
     return _shift_conv_dw(x, taps_t, taps_v, stride, t_lo)
 
 
 def _forward(x: jax.Array, xpos: jax.Array, ypos_eff: jax.Array,
-             stride: int) -> jax.Array:
-    taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    impl = get_impl()
+             stride: int, low: Lowering) -> jax.Array:
+    m = low.max_shift
+    taps_v = None if low.xpos_zero else _hat_taps(xpos, -1, 1)
+    impl = low.tshift_impl
     if impl == "roll":
-        return _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT)
+        return _shift_roll(x, ypos_eff, taps_v, stride, m)
     if impl == "matmul":
         return _shift_matmul(x, ypos_eff, taps_v, stride)
     if impl == "dft":
-        return _shift_dft(x, ypos_eff, taps_v, stride)
-    taps_t = _hat_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
-    return _shift_conv(x, taps_t, taps_v, stride, -MAX_SHIFT)
+        return _shift_dft(x, ypos_eff, taps_v, stride, m)
+    taps_t = _hat_taps(ypos_eff, -m, m + 1)
+    return _shift_conv(x, taps_t, taps_v, stride, -m, impl)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def temporal_shift(
-    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1
+    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1,
+    low: Optional[Lowering] = None,
 ) -> jax.Array:
     """Learnable fractional temporal shift.
 
     Args:
       x: (N, T, V, C) input.
       xpos: (C,) per-channel joint-axis shift (effectively ~0 in practice).
-      ypos: (C,) per-channel temporal shift, |ypos| <= MAX_SHIFT.
+      ypos: (C,) per-channel temporal shift, |ypos| <= low.max_shift.
       stride: temporal stride (output T = T // stride). For stride != 1 the
         effective ypos is ypos + 0.5 (reference shift.py:17-19).
+      low: lowering selection (static; ops/lowering.py).  None resolves
+        from the SGT_* environment overrides / defaults at trace time.
 
     Returns:
       (N, T // stride, V, C).
     """
+    low = _effective(low)
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _forward(x, xpos, ypos_eff, stride)
+    return _forward(x, xpos, ypos_eff, stride, low)
 
 
-def _temporal_shift_fwd(x, xpos, ypos, stride):
+def _temporal_shift_fwd(x, xpos, ypos, stride, low):
+    low = _effective(low)
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    if get_impl() == "dft" and ASSUME_XPOS_ZERO:
+    if low.tshift_impl == "dft" and low.xpos_zero:
         # dft fast path: compute the spectrum ONCE, save it for the
         # handwritten backward (x itself is an op input, so keeping it in
         # the residuals costs nothing extra)
-        l = _dft_t_len(x.shape[1])
-        xh = _dft_spectrum(x, l)
-        out = _dft_apply(xh, ypos_eff, stride, x.shape[1], l)
+        l = _dft_t_len(x.shape[1], low.max_shift)
+        xh = _dft_spectrum(x, l, low.max_shift)
+        out = _dft_apply(xh, ypos_eff, stride, x.shape[1], l, low.max_shift)
         return out, (x, xh, xpos, ypos_eff)
-    out = _forward(x, xpos, ypos_eff, stride)
+    out = _forward(x, xpos, ypos_eff, stride, low)
     return out, (x, None, xpos, ypos_eff)
 
 
-def _temporal_shift_bwd(stride, residuals, g):
+def _temporal_shift_bwd(stride, low, residuals, g):
+    low = _effective(low)
+    m = low.max_shift
     x, xh, xpos, ypos_eff = residuals
 
     if xh is not None:  # dft fast path (see _dft_shift_bwd)
         grad_input, gy_raw = _dft_shift_bwd(
-            xh, ypos_eff, stride, g, x.shape[1])
+            xh, ypos_eff, stride, g, x.shape[1], m)
         gy = constraint_step(gy_raw)
         return grad_input, jnp.zeros_like(xpos), gy.astype(ypos_eff.dtype)
 
     # grad_input: true VJP of the depthwise conv w.r.t. x (the reference's
     # reverse-shift kernels compute exactly this transposed conv).
-    _, vjp_fn = jax.vjp(lambda xx: _forward(xx, xpos, ypos_eff, stride), x)
+    _, vjp_fn = jax.vjp(
+        lambda xx: _forward(xx, xpos, ypos_eff, stride, low), x)
     grad_input, = vjp_fn(g)
 
     # raw position grad along y: corner-difference conv then
     # mean-over-batch, sum-over-(T, V) (cu:343-349, 501-509).
-    taps_v = None if ASSUME_XPOS_ZERO else _hat_taps(xpos, -1, 1)
-    _impl = get_impl()
+    taps_v = None if low.xpos_zero else _hat_taps(xpos, -1, 1)
+    _impl = low.tshift_impl
     if _impl == "roll":
-        dval_y = _shift_roll(x, ypos_eff, taps_v, stride, MAX_SHIFT,
+        dval_y = _shift_roll(x, ypos_eff, taps_v, stride, m,
                              mode="diff")
     elif _impl == "matmul":
         dval_y = _shift_matmul(x, ypos_eff, taps_v, stride, mode="diff")
     elif _impl == "dft":
-        dval_y = _shift_dft(x, ypos_eff, taps_v, stride, mode="diff")
+        dval_y = _shift_dft(x, ypos_eff, taps_v, stride, m, mode="diff")
     else:
-        dtaps_t = _floor_taps(ypos_eff, -MAX_SHIFT, MAX_SHIFT + 1)
-        dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -MAX_SHIFT)
+        dtaps_t = _floor_taps(ypos_eff, -m, m + 1)
+        dval_y = _shift_conv(x, dtaps_t, taps_v, stride, -m, _impl)
     # fp32 reduction: only the SIGN of gy_raw matters (constraint), so the
     # inner product must not lose it to low-precision accumulation
     gy_raw = jnp.sum(jnp.mean(
@@ -583,7 +612,8 @@ temporal_shift.defvjp(_temporal_shift_fwd, _temporal_shift_bwd)
 
 
 def _tsl_dft_forward(xh: jax.Array, ypos: jax.Array, w: jax.Array,
-                     bias: jax.Array, t_in: int, l: int) -> jax.Array:
+                     bias: jax.Array, t_in: int, l: int,
+                     m: int) -> jax.Array:
     """Fused stride-1 shift + pointwise linear in the Fourier basis.
 
     The channel-mixing 1x1 conv is pointwise over time, so in the
@@ -604,7 +634,7 @@ def _tsl_dft_forward(xh: jax.Array, ypos: jax.Array, w: jax.Array,
     zci = jnp.einsum("nfvc,cd->nfvd", zi, wd,
                      preferred_element_type=xh.dtype)
     inv_r, inv_i = (a.astype(xh.dtype) for a in _dft_inv_basis(
-        t_in, 1, MAX_SHIFT, l, -1.0))
+        t_in, 1, m, l, -1.0))
     out = (jnp.einsum("nfvd,fs->nsvd", zcr, inv_r,
                       preferred_element_type=xh.dtype)
            + jnp.einsum("nfvd,fs->nsvd", zci, inv_i,
@@ -612,10 +642,10 @@ def _tsl_dft_forward(xh: jax.Array, ypos: jax.Array, w: jax.Array,
     return out + bias.reshape(1, 1, 1, -1).astype(xh.dtype)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def temporal_shift_linear_dft(
     x: jax.Array, xpos: jax.Array, ypos: jax.Array,
-    w: jax.Array, bias: jax.Array,
+    w: jax.Array, bias: jax.Array, low: Optional[Lowering] = None,
 ) -> jax.Array:
     """`pointwise(temporal_shift(x, ., ypos, 1), w, bias)` evaluated in one
     shared Fourier-basis pass (see `_tsl_dft_forward`); requires the
@@ -630,19 +660,21 @@ def temporal_shift_linear_dft(
     frequency domain via the same Parseval trick as `_dft_shift_bwd`
     (GW = G+ @ W^T replaces G+ there; algebra in _tsl_dft_bwd).
     """
-    l = _dft_t_len(x.shape[1])
-    xh = _dft_spectrum(x, l)
-    return _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l)
+    m = _effective(low).max_shift
+    l = _dft_t_len(x.shape[1], m)
+    xh = _dft_spectrum(x, l, m)
+    return _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l, m)
 
 
-def _tsl_dft_fwd(x, xpos, ypos, w, bias):
-    l = _dft_t_len(x.shape[1])
-    xh = _dft_spectrum(x, l)
-    out = _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l)
+def _tsl_dft_fwd(x, xpos, ypos, w, bias, low):
+    m = _effective(low).max_shift
+    l = _dft_t_len(x.shape[1], m)
+    xh = _dft_spectrum(x, l, m)
+    out = _tsl_dft_forward(xh, ypos, w, bias, x.shape[1], l, m)
     return out, (xh, xpos, ypos, w, x.shape[1])
 
 
-def _tsl_dft_bwd(residuals, g):
+def _tsl_dft_bwd(low, residuals, g):
     """Derivation (per (n, v) slice, complex planes; a = 2*pi/l, offset M
     folded into every basis):  forward is out[s,d] =
     sum_f w_f Re(ZC[f,d] e^{+i a f (s+M)}) + bias, ZC = (X.P) W with
@@ -658,14 +690,15 @@ def _tsl_dft_bwd(residuals, g):
     G+, and the constraint inner product likewise Parsevals against the
     saved spectrum with GW (the shift-output cotangent in freq space).
     """
+    m = _effective(low).max_shift
     xh, xpos, ypos, w, t_in = residuals
     n = g.shape[0]
-    l = _dft_t_len(t_in)
+    l = _dft_t_len(t_in, m)
     f = l // 2 + 1
 
     grad_bias = jnp.sum(g, axis=(0, 1, 2)).astype(w.dtype)
 
-    gb = _dft_point_basis(g.shape[1], 1, MAX_SHIFT, l, 1.0).astype(g.dtype)
+    gb = _dft_point_basis(g.shape[1], 1, m, l, 1.0).astype(g.dtype)
     gh = jnp.einsum("nsvd,sf->nfvd", g, gb,
                     preferred_element_type=g.dtype)
     gr, gi = gh[:, :f], gh[:, f:]                       # G+ planes
@@ -698,7 +731,7 @@ def _tsl_dft_bwd(residuals, g):
     tzr = gwr * pr[None, :, None, :] - gwi * pi[None, :, None, :]
     tzi = gwr * pi[None, :, None, :] + gwi * pr[None, :, None, :]
     inv_r, inv_i = (a.astype(g.dtype)
-                    for a in _dft_inv_basis(t_in, 1, MAX_SHIFT, l, 1.0))
+                    for a in _dft_inv_basis(t_in, 1, m, l, 1.0))
     grad_x = (jnp.einsum("nfvc,ft->ntvc", tzr, inv_r,
                          preferred_element_type=g.dtype)
               + jnp.einsum("nfvc,ft->ntvc", tzi, inv_i,
@@ -722,7 +755,7 @@ temporal_shift_linear_dft.defvjp(_tsl_dft_fwd, _tsl_dft_bwd)
 
 
 def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
-                bias: jax.Array) -> jax.Array:
+                bias: jax.Array, m: int) -> jax.Array:
     """out = pointwise(temporal_shift(x)) as ONE dense temporal conv.
 
     x: (N, T, V, C); taps_t: (Qt, C); w: (C, D).  Kernel
@@ -733,8 +766,8 @@ def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
     """
     qt = taps_t.shape[0]
     kernel = (taps_t[:, None, :, None] * w[None, None, :, :]).astype(x.dtype)
-    pad_lo = MAX_SHIFT
-    pad_hi = qt - MAX_SHIFT - 1
+    pad_lo = m
+    pad_hi = qt - m - 1
     # dtype-uniform conv (XLA's conv transpose rule rejects mixed
     # bf16-operand/f32-cotangent convs); caller keeps x.dtype downstream
     out = jax.lax.conv_general_dilated(
@@ -746,10 +779,10 @@ def _fused_conv(x: jax.Array, taps_t: jax.Array, w: jax.Array,
     return out + bias.reshape(1, 1, 1, -1).astype(x.dtype)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def temporal_shift_linear(
     x: jax.Array, xpos: jax.Array, ypos: jax.Array,
-    w: jax.Array, bias: jax.Array,
+    w: jax.Array, bias: jax.Array, low: Optional[Lowering] = None,
 ) -> jax.Array:
     """Fused stride-1 temporal shift + pointwise linear.
 
@@ -766,21 +799,25 @@ def temporal_shift_linear(
     corner-difference inner product at the *shift output* cotangent
     (i.e. grad w.r.t. the pre-matmul activation, g @ W^T).
     """
-    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
-    return _fused_conv(x, taps_t, w, bias)
+    m = _effective(low).max_shift
+    taps_t = _hat_taps(ypos, -m, m + 1)
+    return _fused_conv(x, taps_t, w, bias, m)
 
 
-def _tsl_fwd(x, xpos, ypos, w, bias):
-    return temporal_shift_linear(x, xpos, ypos, w, bias), (x, xpos, ypos, w)
+def _tsl_fwd(x, xpos, ypos, w, bias, low):
+    return (temporal_shift_linear(x, xpos, ypos, w, bias, low),
+            (x, xpos, ypos, w))
 
 
-def _tsl_bwd(residuals, g):
+def _tsl_bwd(low, residuals, g):
+    low = _effective(low)
+    m = low.max_shift
     x, xpos, ypos, w = residuals
-    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    taps_t = _hat_taps(ypos, -m, m + 1)
 
     # true grads for x / w / bias through the conv, taps held constant
     _, vjp_fn = jax.vjp(
-        lambda xx, ww, bb: _fused_conv(xx, taps_t, ww, bb),
+        lambda xx, ww, bb: _fused_conv(xx, taps_t, ww, bb, m),
         x, w, jnp.zeros((w.shape[1],), x.dtype))
     grad_x, grad_w, grad_b = vjp_fn(g)
     # cotangent dtypes must match the (fp32) parameter primals even when
@@ -791,8 +828,10 @@ def _tsl_bwd(residuals, g):
     # constraint ypos grad: cotangent at the shift output is g @ W^T
     g_h = jnp.einsum("ntvd,cd->ntvc", g, w,
                      preferred_element_type=jnp.float32)
-    dtaps_t = _floor_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
-    dval_y = _shift_conv(x, dtaps_t, None, 1, -MAX_SHIFT)
+    dtaps_t = _floor_taps(ypos, -m, m + 1)
+    dval_y = _shift_conv(x, dtaps_t, None, 1, -m,
+                         low.tshift_impl if low.tshift_impl == "slice"
+                         else "conv")
     gy_raw = jnp.sum(jnp.mean(
         (dval_y * g_h).astype(jnp.float32), axis=0), axis=(0, 1))
     gy = constraint_step(gy_raw)
@@ -803,25 +842,25 @@ def _tsl_bwd(residuals, g):
 temporal_shift_linear.defvjp(_tsl_fwd, _tsl_bwd)
 
 
-def _tap_support(taps: jax.Array, t: int) -> jax.Array:
+def _tap_support(taps: jax.Array, t: int, m: int) -> jax.Array:
     """(T, C) fp32 response of the tap stencil to an all-ones input.
 
-    chi[q, t] = [0 <= t - MAX_SHIFT + q < T] marks taps that read
+    chi[q, t] = [0 <= t - m + q < T] marks taps that read
     in-bounds (the conv zero-pads the rest); m[t, c] = sum_q
     taps[q, c] * chi[q, t].  This is temporal_shift(ones) without
     touching a batch-sized tensor.
     """
     q = taps.shape[0]
     tq = (jnp.arange(t, dtype=jnp.int32)[None, :]
-          + jnp.arange(q, dtype=jnp.int32)[:, None] - MAX_SHIFT)
+          + jnp.arange(q, dtype=jnp.int32)[:, None] - m)
     chi = ((tq >= 0) & (tq < t)).astype(taps.dtype)        # (Q, T)
     return jnp.einsum("qc,qt->tc", taps, chi)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def bn_shift_linear(
     x: jax.Array, a: jax.Array, b: jax.Array, ypos: jax.Array,
-    w: jax.Array, bias: jax.Array,
+    w: jax.Array, bias: jax.Array, low: Optional[Lowering] = None,
 ) -> jax.Array:
     """Fused BN-affine + stride-1 temporal shift + pointwise linear.
 
@@ -852,9 +891,12 @@ def bn_shift_linear(
     where the corner-difference stencil crosses the padding).
     Requires the xpos-zero lowering; xpos is frozen (zero grad) upstream.
     """
-    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
-    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
-    m = _tap_support(taps_t, x.shape[1])                   # (T, C) fp32
+    low = _effective(low)
+    k, impl = low.max_shift, low.tshift_impl
+    impl = impl if impl == "slice" else "conv"
+    taps_t = _hat_taps(ypos, -k, k + 1)
+    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -k, impl)
+    m = _tap_support(taps_t, x.shape[1], k)                # (T, C) fp32
     wa = a[:, None] * w                                    # (C, D) fp32
     out = jnp.einsum("ntvc,cd->ntvd", h, wa.astype(h.dtype),
                      preferred_element_type=jnp.float32)
@@ -862,10 +904,13 @@ def bn_shift_linear(
     return (out + mb[None, :, None, :]).astype(x.dtype)
 
 
-def _bsl_fwd(x, a, b, ypos, w, bias):
-    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
-    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
-    m = _tap_support(taps_t, x.shape[1])
+def _bsl_fwd(x, a, b, ypos, w, bias, low):
+    low_eff = _effective(low)
+    k, impl = low_eff.max_shift, low_eff.tshift_impl
+    impl = impl if impl == "slice" else "conv"
+    taps_t = _hat_taps(ypos, -k, k + 1)
+    h = _shift_conv(x, taps_t.astype(x.dtype), None, 1, -k, impl)
+    m = _tap_support(taps_t, x.shape[1], k)
     wa = a[:, None] * w
     out = jnp.einsum("ntvc,cd->ntvd", h, wa.astype(h.dtype),
                      preferred_element_type=jnp.float32)
@@ -874,7 +919,10 @@ def _bsl_fwd(x, a, b, ypos, w, bias):
     return out, (x, h, a, b, ypos, w)
 
 
-def _bsl_bwd(residuals, g):
+def _bsl_bwd(low, residuals, g):
+    low = _effective(low)
+    k = low.max_shift
+    impl = low.tshift_impl if low.tshift_impl == "slice" else "conv"
     x, h, a, b, ypos, w = residuals
     n, t = x.shape[0], x.shape[1]
 
@@ -885,17 +933,17 @@ def _bsl_bwd(residuals, g):
 
     # grad_x: true transposed-conv VJP of the raw shift, cotangent scaled
     # by the folded BN scale
-    taps_t = _hat_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
+    taps_t = _hat_taps(ypos, -k, k + 1)
     _, vjp_fn = jax.vjp(
         lambda xx: _shift_conv(xx, taps_t.astype(xx.dtype), None, 1,
-                               -MAX_SHIFT), x)
+                               -k, impl), x)
     grad_x, = vjp_fn((g_h_ref * a).astype(x.dtype))
 
     # true grads for the affine coeffs and the linear params
     grad_a = jnp.sum((h.astype(jnp.float32) * g_h_ref),
                      axis=(0, 1, 2))                       # (C,)
     r = jnp.sum(g_h_ref, axis=(0, 2))                      # (T, C)
-    m = _tap_support(taps_t, t)
+    m = _tap_support(taps_t, t, k)
     grad_b = jnp.sum(m * r, axis=0)                        # (C,)
     gs = jnp.sum(g.astype(jnp.float32), axis=(0, 2))       # (T, D)
     grad_w = (a[:, None] * jnp.einsum(
@@ -905,11 +953,11 @@ def _bsl_bwd(residuals, g):
 
     # constraint ypos grad — exact reference semantics on the folded
     # graph: dval(bn(x)) = a*dval(x) + b*dval(ones)
-    dtaps_t = _floor_taps(ypos, -MAX_SHIFT, MAX_SHIFT + 1)
-    dval_x = _shift_conv(x, dtaps_t.astype(x.dtype), None, 1, -MAX_SHIFT)
+    dtaps_t = _floor_taps(ypos, -k, k + 1)
+    dval_x = _shift_conv(x, dtaps_t.astype(x.dtype), None, 1, -k, impl)
     main = jnp.sum((dval_x * g_h_ref.astype(dval_x.dtype))
                    .astype(jnp.float32), axis=(0, 1, 2)) / n
-    dm = _tap_support(dtaps_t, t)                          # (T, C)
+    dm = _tap_support(dtaps_t, t, k)                       # (T, C)
     gy_raw = a * main + b * (jnp.sum(dm * r, axis=0) / n)
     gy = constraint_step(gy_raw)
 
@@ -922,19 +970,22 @@ bn_shift_linear.defvjp(_bsl_fwd, _bsl_bwd)
 
 
 def temporal_shift_inference(
-    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1
+    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1,
+    low: Optional[Lowering] = None,
 ) -> jax.Array:
     """Forward-only path without the custom VJP plumbing (identical output)."""
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _forward(x, xpos, ypos_eff, stride)
+    return _forward(x, xpos, ypos_eff, stride, _effective(low))
 
 
-def assert_in_range(ypos, name: str = "ypos") -> None:
+def assert_in_range(ypos, name: str = "ypos",
+                    max_shift: Optional[int] = None) -> None:
     """Host-side check that shift positions stay within the static tap range."""
     import numpy as np
 
+    k = max_shift if max_shift is not None else _resolve_low().max_shift
     m = float(np.max(np.abs(np.asarray(ypos))))
-    if m > MAX_SHIFT - 0.5:
+    if m > k - 0.5:
         raise ValueError(
             f"{name} magnitude {m:.2f} approaches the static tap radius "
-            f"MAX_SHIFT={MAX_SHIFT}; increase MAX_SHIFT for this run")
+            f"max_shift={k}; increase lowering.max_shift for this run")

@@ -104,6 +104,16 @@ class ExperimentConfig:
                                             # concurrently (vmapped stacked
                                             # models, on-device bone/motion
                                             # derivation from joint data)
+    lowering: Dict[str, Any] = dataclasses.field(
+        default_factory=dict)               # lowering/fusion selection
+                                            # (ops/lowering.py keys, e.g.
+                                            # tshift_impl, sgcn_impl,
+                                            # tcn_freq_fuse, max_shift).
+                                            # Precedence: SGT_* env >
+                                            # these keys > defaults; the
+                                            # trainer writes the RESOLVED
+                                            # values into the work-dir
+                                            # config snapshot
     device_guard: bool = True               # epoch-boundary health check +
                                             # self-healing re-exec (resume
                                             # from last checkpoint) when the

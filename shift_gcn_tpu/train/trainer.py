@@ -45,6 +45,15 @@ class Trainer:
         self.logger = RunLogger(self.work_dir, to_file=cfg.print_log)
         os.makedirs(os.path.join(self.work_dir, "eval_results"),
                     exist_ok=True)
+        # resolve the lowering/fusion selection (env > config > default)
+        # BEFORE snapshotting, so the work-dir config.yaml records the
+        # exact numerics this run compiles with (ops/lowering.py)
+        from shift_gcn_tpu.ops import lowering as lowering_lib
+
+        merged = {**(cfg.model_args.get("lowering") or {}),
+                  **(cfg.lowering or {})}
+        self.lowering = lowering_lib.resolve(lowering_lib.from_dict(merged))
+        cfg.lowering = lowering_lib.as_dict(self.lowering)
         config_lib.save_config(cfg, os.path.join(self.work_dir,
                                                  "config.yaml"))
         # snapshot the model source into the work dir for reproducibility
@@ -84,6 +93,11 @@ class Trainer:
             overrides["remat"] = True
         if cfg.use_pallas and "use_pallas" in valid:
             overrides["use_pallas"] = True
+        if "lowering" in valid:
+            # the fully-resolved selection becomes part of the (static)
+            # model config, so the jitted steps' numerics are pinned by
+            # value, not by ambient env state
+            overrides["lowering"] = self.lowering
         if overrides:
             self.model_config = dataclasses.replace(
                 self.model_config, **overrides)
@@ -648,12 +662,14 @@ class Trainer:
 
     def check_shift_range(self) -> None:
         """Guard the static temporal tap radius: every Shift's ypos must
-        stay inside MAX_SHIFT or results silently clip."""
+        stay inside this run's lowering.max_shift or results silently
+        clip."""
         from shift_gcn_tpu.ops.temporal_shift import assert_in_range
 
         for name, leaf in _flatten(self.state.params):
             if name.endswith("ypos"):
-                assert_in_range(leaf, name)
+                assert_in_range(leaf, name,
+                                max_shift=self.lowering.max_shift)
 
     def save(self, epoch: int) -> str:
         self.check_shift_range()

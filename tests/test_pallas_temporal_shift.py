@@ -16,7 +16,7 @@ pk = importlib.import_module(
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
     monkeypatch.setattr(pk, "_INTERPRET", True)
-    monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+    monkeypatch.setenv("SGT_EXACT_XPOS", "0")  # xpos-zero lowering
     yield
 
 

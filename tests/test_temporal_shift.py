@@ -27,7 +27,8 @@ def _shift_impl(request, monkeypatch):
     both xpos modes must agree with it to fp32 tolerance."""
     impl, xz = request.param
     monkeypatch.setenv("SGT_TSHIFT_IMPL", impl)
-    monkeypatch.setattr(_ts_mod, "ASSUME_XPOS_ZERO", xz)
+    # xpos handling is resolved from env at trace time (ops/lowering.py)
+    monkeypatch.setenv("SGT_EXACT_XPOS", "0" if xz else "1")
     yield
 
 
@@ -299,7 +300,7 @@ class TestFreqFusedShiftLinear:
 
         ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
         monkeypatch.setenv("SGT_TSHIFT_IMPL", "dft")
-        monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+        monkeypatch.setenv("SGT_EXACT_XPOS", "0")
         h = ts.temporal_shift(x, xpos, ypos, 1)
         wt = w.T[:, :, None, None]  # (D, C, 1, 1) torch layout
         return pointwise_conv(h, wt, bias)
@@ -353,7 +354,7 @@ class TestFreqFusedShiftLinear:
 
         ts = importlib.import_module("shift_gcn_tpu.ops.temporal_shift")
         monkeypatch.setenv("SGT_TSHIFT_IMPL", "dft")
-        monkeypatch.setattr(ts, "ASSUME_XPOS_ZERO", True)
+        monkeypatch.setenv("SGT_EXACT_XPOS", "0")
         cfg = ModelConfig(num_class=2, num_point=25, num_person=1,
                           graph="ntu_rgb_d")
         params, state = init_params(jax.random.key(0), cfg)
