@@ -1,0 +1,575 @@
+"""Lockstep training-trajectory parity vs a torch oracle of the FULL
+reference training loop.
+
+The strongest accuracy evidence obtainable without the real dataset
+(VERDICT r3 task 1): an independent torch re-implementation of the
+reference trainer — the model (model/shift_gcn.py:31-216), the CUDA
+shift's forward/backward INCLUDING the constraint position update
+(shift_cuda_kernel.cu:277-395, 433-523; shift.py:9-30), the per-parameter
+weight-decay SGD (main.py:301-322), the step-decay LR schedule
+(main.py:342-353) and the cross-entropy hot loop (main.py:397-428) — is
+trained for 60 steps on identical synthetic batches from identical init,
+against the jitted Trainer-step trajectory.
+
+What is provable, and what is asserted (measured numbers in
+docs/PARITY.md):
+
+1. PER-STEP parity is exact: at identical states the loss, every true
+   gradient, and every sign-quantized position update match
+   (test_step_zero_loss_and_full_gradient_parity — grads to ~1e-3 rel
+   roundoff, position steps BIT-equal).
+2. The trajectories lockstep EXACTLY (bit-equal ypos, losses to 5e-4)
+   until the first "dither tie".  The reference's constraint update
+   drives every shift position to an equilibrium where the raw
+   sign-extraction inner product crosses zero and the position dithers
+   in fixed ±0.01·lr steps; at a crossing the raw product sits at
+   roundoff scale, and ANY two fp32 implementations (including two CUDA
+   kernel schedules with different reduction orders) eventually pick
+   different crossing steps.  Measured here: first tie at step 6, with
+   raw-product implementation noise ~1e-2 relative (cancellation-
+   amplified fp32 reduction noise; probe in scratch/ r4).  Long-horizon
+   bitwise trajectory equality across implementations is therefore
+   ill-posed BY CONSTRUCTION of the reference algorithm, not an
+   implementation gap.
+3. After the tie horizon the two runs are statistically equivalent
+   trainings: the loss curves stay in a measured envelope (max step
+   diff ~0.27, last-quarter mean diff ~0.04), positions stay within a
+   few dither quanta (≤0.065), and both plateau at the same loss.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from shift_gcn_tpu.models.shift_gcn import (
+    BlockSpec, ModelConfig, init_params)
+from shift_gcn_tpu.train import state as state_lib
+from shift_gcn_tpu.train.optim import build_weight_decay_tree, step_decay_lr
+
+# ---------------------------------------------------------------------------
+# torch oracle: the reference CUDA shift op (fwd + constraint bwd)
+# ---------------------------------------------------------------------------
+
+
+def _np_shift_fwd(x, xpos, ypos_eff, stride):
+    """Reference forward (shift_cuda_kernel.cu:11-76): bilinear corner sum
+    over (N, C, T, V), zero out-of-range reads."""
+    n, c, t_in, v_in = x.shape
+    t_out = t_in // stride
+    out = np.zeros((n, c, t_out, v_in), dtype=x.dtype)
+    for ch in range(c):
+        xv, yv = float(xpos[ch]), float(ypos_eff[ch])
+        x1, y1 = math.floor(xv), math.floor(yv)
+        dx, dy = xv - x1, yv - y1
+        corners = ((y1, x1, (1 - dx) * (1 - dy)),
+                   (y1, x1 + 1, dx * (1 - dy)),
+                   (y1 + 1, x1, (1 - dx) * dy),
+                   (y1 + 1, x1 + 1, dx * dy))
+        for (ti, vi, w) in corners:
+            if w == 0.0:
+                continue
+            t_src = np.arange(t_out) * stride + ti
+            v_src = np.arange(v_in) + vi
+            t_ok = np.nonzero((t_src >= 0) & (t_src < t_in))[0]
+            v_ok = np.nonzero((v_src >= 0) & (v_src < v_in))[0]
+            if not len(t_ok) or not len(v_ok):
+                continue
+            out[:, ch][np.ix_(range(n), t_ok, v_ok)] += np.float32(w) * (
+                x[:, ch][np.ix_(range(n), t_src[t_ok], v_src[v_ok])])
+    return out
+
+
+def _np_shift_grad_input(g, xpos, ypos_eff, stride, t_in):
+    """Reference input-grad kernels (cu:78-256): reverse shift with
+    (-x, -y); stride-2 maps only even bottom rows (h_im % 2 == 0)."""
+    n, c, t_out, v_in = g.shape
+    out = np.zeros((n, c, t_in, v_in), dtype=g.dtype)
+    for ch in range(c):
+        xv, yv = -float(xpos[ch]), -float(ypos_eff[ch])
+        x1, y1 = math.floor(xv), math.floor(yv)
+        dx, dy = xv - x1, yv - y1
+        corners = ((y1, x1, (1 - dx) * (1 - dy)),
+                   (y1, x1 + 1, dx * (1 - dy)),
+                   (y1 + 1, x1, (1 - dx) * dy),
+                   (y1 + 1, x1 + 1, dx * dy))
+        for (ti, vi, w) in corners:
+            if w == 0.0:
+                continue
+            for h in range(t_in):
+                t_read = h + ti
+                if stride != 1:
+                    if t_read % stride != 0:
+                        continue
+                    t_read //= stride
+                if not (0 <= t_read < t_out):
+                    continue
+                v_src = np.arange(v_in) + vi
+                v_ok = np.nonzero((v_src >= 0) & (v_src < v_in))[0]
+                if not len(v_ok):
+                    continue
+                out[:, ch, h, v_ok] += np.float32(w) * (
+                    g[:, ch, t_read, v_src[v_ok]])
+    return out
+
+
+def _np_shift_dval_y(x, xpos, ypos_eff, stride):
+    """Reference position-grad corner difference (cu:343-349):
+    val_y = (1-dx)*(q12-q11) + dx*(q22-q21)."""
+    n, c, t_in, v_in = x.shape
+    t_out = t_in // stride
+    out = np.zeros((n, c, t_out, v_in), dtype=x.dtype)
+    for ch in range(c):
+        xv, yv = float(xpos[ch]), float(ypos_eff[ch])
+        x1, y1 = math.floor(xv), math.floor(yv)
+        dx = xv - x1
+        corners = ((y1, x1, -(1 - dx)), (y1 + 1, x1, (1 - dx)),
+                   (y1, x1 + 1, -dx), (y1 + 1, x1 + 1, dx))
+        for (ti, vi, w) in corners:
+            if w == 0.0:
+                continue
+            t_src = np.arange(t_out) * stride + ti
+            v_src = np.arange(v_in) + vi
+            t_ok = np.nonzero((t_src >= 0) & (t_src < t_in))[0]
+            v_ok = np.nonzero((v_src >= 0) & (v_src < v_in))[0]
+            if not len(t_ok) or not len(v_ok):
+                continue
+            out[:, ch][np.ix_(range(n), t_ok, v_ok)] += np.float32(w) * (
+                x[:, ch][np.ix_(range(n), t_src[t_ok], v_src[v_ok])])
+    return out
+
+
+class _ShiftFn(torch.autograd.Function):
+    """ShiftFunction (shift.py:9-30) with the kernel semantics inlined."""
+
+    @staticmethod
+    def forward(ctx, x, xpos, ypos, stride):
+        ypos_eff = ypos + 0.5 if stride != 1 else ypos
+        ctx.save_for_backward(x, xpos, ypos_eff)
+        ctx.stride = stride
+        out = _np_shift_fwd(
+            x.detach().numpy(), xpos.detach().numpy(),
+            ypos_eff.detach().numpy(), stride)
+        return torch.from_numpy(out)
+
+    @staticmethod
+    def backward(ctx, g):
+        x, xpos, ypos_eff = ctx.saved_tensors
+        gnp = g.contiguous().detach().numpy()
+        xnp = x.detach().numpy()
+        xp = xpos.detach().numpy()
+        yp = ypos_eff.detach().numpy()
+        grad_input = _np_shift_grad_input(gnp, xp, yp, ctx.stride,
+                                          x.shape[2])
+        # mean over batch, sum over (T, V) (cu:501-509), then the
+        # constraint (cu:370-395): grad_x := 0, grad_y := ±0.01 / 1e-4
+        dval = _np_shift_dval_y(xnp, xp, yp, ctx.stride)
+        gy_raw = (dval * gnp).mean(axis=0).sum(axis=(1, 2))
+        gy = np.where(gy_raw != 0,
+                      np.sign(gy_raw).astype(np.float32) * np.float32(0.01),
+                      np.float32(1e-4)).astype(np.float32)
+        return (torch.from_numpy(grad_input), torch.zeros_like(xpos),
+                torch.from_numpy(gy), None)
+
+
+class _Shift(nn.Module):
+    def __init__(self, channel, stride):
+        super().__init__()
+        self.stride = stride
+        self.xpos = nn.Parameter(torch.zeros(channel))
+        self.ypos = nn.Parameter(torch.zeros(channel))
+
+    def forward(self, x):
+        return _ShiftFn.apply(x, self.xpos, self.ypos, self.stride)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle: the reference model (model/shift_gcn.py:31-216)
+# ---------------------------------------------------------------------------
+
+
+class _Down(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, 1, stride=(stride, 1))
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.bn(self.conv(x))
+
+
+class _ShiftGcn(nn.Module):
+    def __init__(self, cin, cout, v):
+        super().__init__()
+        self.v, self.cin, self.cout = v, cin, cout
+        self.Linear_weight = nn.Parameter(torch.zeros(cin, cout))
+        self.Linear_bias = nn.Parameter(torch.zeros(1, 1, cout))
+        self.Feature_Mask = nn.Parameter(torch.zeros(1, v, cin))
+        self.bn = nn.BatchNorm1d(v * cout)
+        if cin != cout:
+            self.down = _Down(cin, cout)
+        idx_in = [(i * cin + j + j * cin) % (cin * v)
+                  for i in range(v) for j in range(cin)]
+        idx_out = [(i * cout + j - j * cout) % (cout * v)
+                   for i in range(v) for j in range(cout)]
+        self.register_buffer("shift_in", torch.tensor(idx_in))
+        self.register_buffer("shift_out", torch.tensor(idx_out))
+
+    def forward(self, x0):
+        n, c, t, v = x0.shape
+        x = x0.permute(0, 2, 3, 1).contiguous().view(n * t, v * c)
+        x = torch.index_select(x, 1, self.shift_in).view(n * t, v, c)
+        x = x * (torch.tanh(self.Feature_Mask) + 1)
+        x = torch.einsum("nwc,cd->nwd", x, self.Linear_weight)
+        x = x + self.Linear_bias
+        x = torch.index_select(x.reshape(n * t, -1), 1, self.shift_out)
+        x = self.bn(x)
+        x = x.view(n, t, v, self.cout).permute(0, 3, 1, 2)
+        res = self.down(x0) if hasattr(self, "down") else x0
+        return F.relu(x + res)
+
+
+class _ShiftTcn(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(cin)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.shift_in = _Shift(cin, 1)
+        self.shift_out = _Shift(cout, stride)
+        self.temporal_linear = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        x = self.bn(x)
+        x = self.shift_in(x)
+        x = F.relu(self.temporal_linear(x))
+        x = self.shift_out(x)
+        return self.bn2(x)
+
+
+class _Unit(nn.Module):
+    def __init__(self, spec: BlockSpec, v):
+        super().__init__()
+        self.spec = spec
+        self.gcn1 = _ShiftGcn(spec.in_channels, spec.out_channels, v)
+        self.tcn1 = _ShiftTcn(spec.out_channels, spec.out_channels,
+                              spec.stride)
+        if spec.residual and (spec.in_channels != spec.out_channels
+                              or spec.stride != 1):
+            self.residual = _Down(spec.in_channels, spec.out_channels,
+                                  spec.stride)
+
+    def forward(self, x):
+        h = self.tcn1(self.gcn1(x))
+        if not self.spec.residual:
+            res = 0.0
+        elif hasattr(self, "residual"):
+            res = self.residual(x)
+        else:
+            res = x
+        return F.relu(h + res)
+
+
+class _TorchModel(nn.Module):
+    def __init__(self, config: ModelConfig):
+        super().__init__()
+        v, m, c = config.num_point, config.num_person, config.in_channels
+        self.num_person = m
+        self.data_bn = nn.BatchNorm1d(m * v * c)
+        for i, spec in enumerate(config.blocks):
+            setattr(self, f"l{i + 1}", _Unit(spec, v))
+        self.blocks = config.blocks
+        self.fc = nn.Linear(config.blocks[-1].out_channels,
+                            config.num_class)
+
+    def forward(self, x):
+        n, c, t, v, m = x.shape
+        h = x.permute(0, 4, 3, 1, 2).contiguous().view(n, m * v * c, t)
+        h = self.data_bn(h)
+        h = h.view(n, m, v, c, t).permute(0, 1, 3, 4, 2).contiguous()
+        h = h.view(n * m, c, t, v)
+        for i in range(len(self.blocks)):
+            h = getattr(self, f"l{i + 1}")(h)
+        cf = h.shape[1]
+        h = h.view(n, m, cf, -1).mean(3).mean(1)
+        return self.fc(h)
+
+
+def _load_from_pytree(model: _TorchModel, params, bn_state):
+    """Copy the (torch-shaped) jax pytrees into the torch module."""
+    def flat(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}."))
+            else:
+                out[prefix + k] = np.asarray(v)
+        return out
+
+    tensors = {**flat(params), **flat(bn_state)}
+    named = dict(model.named_parameters())
+    named.update(dict(model.named_buffers()))
+    loaded = 0
+    with torch.no_grad():
+        for name, value in tensors.items():
+            if name not in named:
+                assert name.endswith(("shift_in", "shift_out")) or (
+                    "num_batches" in name) or name not in named, name
+            if name in named:
+                named[name].copy_(torch.as_tensor(value.copy()))
+                loaded += 1
+    assert loaded >= len(flat(params)), "not all params loaded"
+
+
+def _reference_optimizer(model, nesterov=True):
+    """main.py:301-322 effective behavior: per-param SGD, momentum 0.9,
+    wd 1e-3 Linear_weight / 0 Mask / 1e-4 otherwise."""
+    groups = []
+    for key, value in dict(model.named_parameters()).items():
+        wd = 1e-4
+        if "Linear_weight" in key:
+            wd = 1e-3
+        elif "Mask" in key:
+            wd = 0.0
+        groups.append({"params": [value], "lr": 0.1, "weight_decay": wd})
+    return torch.optim.SGD(groups, momentum=0.9, nesterov=nesterov)
+
+
+# ---------------------------------------------------------------------------
+# the lockstep run
+# ---------------------------------------------------------------------------
+
+_CONFIG = ModelConfig(
+    num_class=5, num_point=25, num_person=2, graph="ntu_rgb_d",
+    blocks=(
+        BlockSpec(3, 8, residual=False),
+        BlockSpec(8, 8),
+        BlockSpec(8, 12, stride=2),
+        BlockSpec(12, 12),
+    ))
+_STEPS_PER_EPOCH = 15
+_EPOCHS = 4
+_BASE_LR = 0.1
+_LR_STEPS = [2]          # 10x decay at epoch 2: exercises the schedule
+_WARMUP = 1              # and the warmup ramp (main.py:342-353)
+
+
+def _make_batches(seed=7, n_steps=_STEPS_PER_EPOCH * _EPOCHS, batch=6,
+                  t=12):
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    for _ in range(n_steps):
+        x = rng.standard_normal((batch, 3, t, 25, 2)).astype(np.float32)
+        y = rng.integers(0, 5, batch)
+        # separable signal so the loss actually moves
+        for i in range(batch):
+            x[i, y[i] % 3] += 0.3 * (y[i] + 1) / 5.0
+        xs.append(x)
+        ys.append(y.astype(np.int32))
+    return xs, ys
+
+
+def _lr_for_step(step):
+    epoch = step // _STEPS_PER_EPOCH
+    return step_decay_lr(epoch, _BASE_LR, _LR_STEPS, _WARMUP)
+
+
+def _run_torch(params, bn_state, xs, ys):
+    torch.manual_seed(0)
+    model = _TorchModel(_CONFIG)
+    _load_from_pytree(model, params, bn_state)
+    opt = _reference_optimizer(model)
+    model.train()
+    losses, ypos_traj = [], []
+    for step, (xb, yb) in enumerate(zip(xs, ys)):
+        for g in opt.param_groups:
+            g["lr"] = _lr_for_step(step)
+        logits = model(torch.as_tensor(xb))
+        loss = F.cross_entropy(logits, torch.as_tensor(yb).long())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+        ypos_traj.append(
+            model.l1.tcn1.shift_in.ypos.detach().numpy().copy())
+    return model, np.asarray(losses), np.asarray(ypos_traj)
+
+
+def _run_jax(config, params, bn_state, xs, ys):
+    state = state_lib.TrainState(
+        params=params, bn_state=bn_state,
+        opt_state=state_lib.init_sgd(params),
+        global_step=jnp.zeros((), jnp.int32))
+    wd_tree = build_weight_decay_tree(params)
+    step_fn = jax.jit(state_lib.make_train_step(config, wd_tree))
+    losses, ypos_traj = [], []
+    for step, (xb, yb) in enumerate(zip(xs, ys)):
+        lr = jnp.asarray(_lr_for_step(step), jnp.float32)
+        state, metrics = step_fn(
+            state, {"data": jnp.asarray(xb), "label": jnp.asarray(yb)}, lr)
+        losses.append(float(metrics["loss"]))
+        ypos_traj.append(
+            np.asarray(state.params["l1"]["tcn1"]["shift_in"]["ypos"]))
+    return state, np.asarray(losses), np.asarray(ypos_traj)
+
+
+def _flat(tree, prefix=""):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, f"{prefix}{k}.")
+        else:
+            yield prefix + k, np.asarray(v)
+
+
+@pytest.fixture(scope="module")
+def lockstep():
+    params, bn_state = init_params(jax.random.key(11), _CONFIG)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    state_np = jax.tree_util.tree_map(np.asarray, bn_state)
+    xs, ys = _make_batches()
+    tmodel, tlosses, typos = _run_torch(params_np, state_np, xs, ys)
+    jstate, jlosses, jypos = _run_jax(_CONFIG, params, bn_state, xs, ys)
+    return tmodel, tlosses, typos, jstate, jlosses, jypos
+
+
+def test_step_zero_loss_and_full_gradient_parity():
+    """At identical states, ONE full reference step decomposes exactly:
+    the loss, every true gradient, and every constraint position step
+    match the torch oracle.  This is the deterministic per-step claim
+    the trajectory statements build on."""
+    params, bn_state = init_params(jax.random.key(11), _CONFIG)
+    pn = jax.tree_util.tree_map(np.asarray, params)
+    sn = jax.tree_util.tree_map(np.asarray, bn_state)
+    xs, ys = _make_batches()
+    xb, yb = xs[0], ys[0]
+
+    torch.manual_seed(0)
+    tmodel = _TorchModel(_CONFIG)
+    _load_from_pytree(tmodel, pn, sn)
+    tmodel.train()
+    tloss = F.cross_entropy(tmodel(torch.as_tensor(xb)),
+                            torch.as_tensor(yb).long())
+    tloss.backward()
+    tgrads = {k: v.grad.detach().numpy()
+              for k, v in tmodel.named_parameters()}
+
+    def loss_fn(p, s):
+        from shift_gcn_tpu.models import shift_gcn as sg
+
+        logits, _ = sg.apply(p, s, jnp.asarray(xb), _CONFIG, training=True)
+        return state_lib.cross_entropy(logits, jnp.asarray(yb))
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(params, bn_state)
+    assert abs(float(jloss) - float(tloss)) < 1e-5
+
+    checked_true, checked_pos = 0, 0
+    for name, jg in _flat(jgrads):
+        tg = tgrads[name]
+        if name.endswith("ypos"):
+            # constraint steps are quantized to exactly ±0.01 / 1e-4 —
+            # the two implementations must agree BIT-for-bit
+            np.testing.assert_array_equal(jg, tg, err_msg=name)
+            mags = np.abs(jg)
+            assert np.all(np.isclose(mags, 0.01, atol=1e-8)
+                          | np.isclose(mags, 1e-4, atol=1e-8)), name
+            checked_pos += 1
+        elif name.endswith("xpos"):
+            np.testing.assert_array_equal(jg, np.zeros_like(jg),
+                                          err_msg=name)
+            np.testing.assert_array_equal(tg, np.zeros_like(tg),
+                                          err_msg=name)
+        else:
+            # absolute floor 1e-5: a bias followed by BN has ~zero true
+            # gradient (BN removes constant modes), so those leaves are
+            # pure fp32 cancellation noise on both sides
+            tol = 1e-5 + 2e-4 * np.abs(tg).max()
+            assert np.abs(jg - tg).max() < tol, (
+                f"{name}: {np.abs(jg - tg).max()} vs tol {tol}")
+            checked_true += 1
+    assert checked_pos == 2 * len(_CONFIG.blocks)
+    assert checked_true > 30
+
+
+def test_lockstep_exact_until_first_dither_tie(lockstep):
+    """Bit-equal ypos + tightly matching losses until the first
+    equilibrium-dither sign tie (measured at step 6 for this seed); the
+    tie horizon must not regress below 5 steps."""
+    _, tlosses, typos, _, jlosses, jypos = lockstep
+    diffs = np.abs(jypos - typos).max(axis=1)
+    first_tie = next((i for i in range(len(diffs)) if diffs[i] > 1e-6),
+                     len(diffs))
+    assert first_tie >= 5, f"tie horizon regressed: step {first_tie}"
+    np.testing.assert_array_equal(jypos[:first_tie], typos[:first_tie])
+    np.testing.assert_allclose(jlosses[:first_tie], tlosses[:first_tie],
+                               atol=5e-4, rtol=0)
+
+
+def test_long_run_loss_envelope_and_descent(lockstep):
+    """After the tie horizon the runs are statistically equivalent
+    trainings (measured: max step diff 0.27, last-quarter mean 0.04,
+    same plateau)."""
+    _, tlosses, _, _, jlosses, _ = lockstep
+    n = len(tlosses)
+    assert n == _STEPS_PER_EPOCH * _EPOCHS
+    d = np.abs(jlosses - tlosses)
+    assert d.max() < 0.35, d.max()
+    assert d[-15:].mean() < 0.08, d[-15:].mean()
+    # identical plateaus: the two runs end at the same loss level
+    assert abs(np.mean(jlosses[-5:]) - np.mean(tlosses[-5:])) < 0.05
+    # and both genuinely trained (>50% loss reduction)
+    assert np.mean(tlosses[-5:]) < 0.5 * tlosses[0]
+    assert np.mean(jlosses[-5:]) < 0.5 * jlosses[0]
+
+
+def test_positions_stay_within_dither_quanta(lockstep):
+    """Every position deviation is bounded by a few ±0.01·lr dither
+    quanta for the whole run (measured max 0.065)."""
+    _, _, typos, _, _, jypos = lockstep
+    assert np.abs(jypos - typos).max() <= 0.09
+
+
+def test_final_params_and_bn_stats_same_region(lockstep):
+    """Final params/BN stats land in the same region (scale-aware
+    bound): past the tie horizon the trajectories are legitimately
+    different samples of the same training, so this is a bounded-drift
+    claim, not bitwise tracking (see module docstring)."""
+    tmodel, _, _, jstate, _, _ = lockstep
+    named = dict(tmodel.named_parameters())
+    named.update(dict(tmodel.named_buffers()))
+    checked = 0
+    for name, jval in list(_flat(jstate.params)) + list(
+            _flat(jstate.bn_state)):
+        if "num_batches" in name:
+            continue
+        tval = named[name].detach().numpy()
+        rel = np.abs(jval - tval).max() / (1.0 + np.abs(tval).max())
+        assert rel < 0.5, f"{name}: {rel}"
+        checked += 1
+    assert checked > 60
+
+
+def test_bf16_trajectory_stays_in_envelope(lockstep):
+    """The production bf16-activation config tracks the fp32 torch
+    oracle within a looser envelope (measured: max step diff 0.24,
+    last-quarter mean 0.07, ypos ≤ 0.071): same descent, same plateau,
+    positions within a few dither quanta."""
+    _, tlosses, typos, _, _, _ = lockstep
+    import dataclasses
+
+    config = dataclasses.replace(_CONFIG, activation_dtype="bfloat16")
+    params, bn_state = init_params(jax.random.key(11), config)
+    xs, ys = _make_batches()
+    _, jlosses, jypos = _run_jax(config, params, bn_state, xs, ys)
+    d = np.abs(jlosses - tlosses)
+    assert d.max() < 0.4, d.max()
+    assert d[-15:].mean() < 0.12, d[-15:].mean()
+    assert abs(np.mean(jlosses[-5:]) - np.mean(tlosses[-5:])) < 0.08
+    assert np.mean(jlosses[-5:]) < 0.5 * jlosses[0]
+    # the raw sign reduction stays fp32 even under bf16 activations, so
+    # positions still move in exact quanta — just with more ties
+    assert np.abs(jypos - typos).max() <= 0.12
