@@ -48,8 +48,28 @@ def shard_batch(mesh: Mesh, batch, specs=None):
     sequence-parallel trainer places 'data' as P('data', None, 'model')
     so the transfer lands already T-sharded instead of paying a per-step
     reshard inside the jit).
+
+    Multi-process (jax.process_count() > 1): each process passes its OWN
+    host shard (the feeder's host-sharded local batch) and the result is
+    one global jax.Array whose leading axis is the concatenation of the
+    per-process shards in process order — the global batch the jitted
+    step sees.  Only the plain DP layout is supported across processes
+    (specs overrides are a single-process feature; see Trainer guards).
     """
     default = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        if specs is not None:
+            raise NotImplementedError(
+                "multi-process training supports the plain DP batch "
+                "layout only (no per-key spec overrides)")
+
+        def put(a):
+            a = np.asarray(a)
+            global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+            return jax.make_array_from_process_local_data(
+                default, a, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     if specs is None:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, default), batch)

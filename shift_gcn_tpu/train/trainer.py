@@ -106,12 +106,35 @@ class Trainer:
 
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
         data_axis = self.mesh.shape["data"]
-        for name, bs in (("batch_size", cfg.batch_size),
-                         ("test_batch_size", cfg.test_batch_size)):
-            if bs % data_axis != 0:
+        nproc = jax.process_count()
+        if nproc > 1:
+            # multi-process: batch_size is the PER-HOST batch; the global
+            # batch (nproc * batch_size) is what the data axis shards.
+            # Only plain data parallelism crosses processes (the other
+            # modes' state/batch layouts assume single-process arrays).
+            unsupported = [k for k, v in (
+                ("fourstream", cfg.fourstream),
+                ("shard_time", cfg.shard_time),
+                ("edge_partition", cfg.edge_partition),
+                ("tensor parallelism (mesh model axis > 1)",
+                 self.mesh.shape["model"] > 1)) if v]
+            if unsupported:
                 raise ValueError(
-                    f"{name}={bs} must be divisible by the data mesh axis "
-                    f"({data_axis} devices)")
+                    f"multi-process training supports plain DP only; "
+                    f"unsupported here: {unsupported}")
+            for name, bs in (("batch_size", cfg.batch_size),
+                             ("test_batch_size", cfg.test_batch_size)):
+                if (bs * nproc) % data_axis != 0:
+                    raise ValueError(
+                        f"{name}={bs} x {nproc} processes must be "
+                        f"divisible by the data mesh axis ({data_axis})")
+        else:
+            for name, bs in (("batch_size", cfg.batch_size),
+                             ("test_batch_size", cfg.test_batch_size)):
+                if bs % data_axis != 0:
+                    raise ValueError(
+                        f"{name}={bs} must be divisible by the data mesh "
+                        f"axis ({data_axis} devices)")
         if cfg.fourstream:
             from shift_gcn_tpu.train import fourstream as fs
 
@@ -507,7 +530,9 @@ class Trainer:
         # np.asarray would synchronize and serialize host batching against
         # device compute (logits are (B, num_class) scalars-scale — holding
         # an epoch of them costs nothing).
+        multihost = jax.process_count() > 1
         pending_out = []
+        indices = []
         try:
             for data, label, index, mask in it.epoch(0):
                 batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
@@ -519,9 +544,22 @@ class Trainer:
                     self.state.params, self.state.bn_state, batch)
                 pending_out.append((logits, lsum, n, label, index, mask))
             for logits, lsum, n, label, index, mask in pending_out:
-                logits = np.asarray(logits)
+                if multihost:
+                    # the global logits span non-addressable devices;
+                    # gather everything host-side (tiled = concatenated
+                    # in process order, matching the global batch order)
+                    from jax.experimental import multihost_utils as mhu
+
+                    logits, label, index, mask = (
+                        np.asarray(a) for a in mhu.process_allgather(
+                            (logits, np.asarray(label),
+                             np.asarray(index), np.asarray(mask)),
+                            tiled=True))
+                else:
+                    logits = np.asarray(logits)
                 valid = mask > 0
                 scores.append(logits[valid])
+                indices.append(np.asarray(index)[valid])
                 loss_sum += float(lsum)
                 n_sum += float(n)
                 if f_w or f_r:
@@ -537,6 +575,12 @@ class Trainer:
             if f_r:
                 f_r.close()
         score = np.concatenate(scores)
+        if multihost:
+            # host-sharded iteration interleaves the hosts' dataset
+            # shards; restore dataset order (top_k and the score pickles
+            # assume it)
+            order = np.argsort(np.concatenate(indices), kind="stable")
+            score = score[order]
         accuracy = feeder.top_k(score, 1)
         score_dict = dict(zip(feeder.sample_name, score))
         eval_dir = os.path.join(self.work_dir, "eval_results")
@@ -673,6 +717,10 @@ class Trainer:
 
     def save(self, epoch: int) -> str:
         self.check_shift_range()
+        # multi-process: every process calls into Orbax (its multihost
+        # barrier requires all participants); Orbax's primary-host logic
+        # makes the write itself single-writer (reference contrast:
+        # single-process torch.save, main.py:436-448)
         payload = {
             "params": self.state.params,
             "bn_state": self.state.bn_state,

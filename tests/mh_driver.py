@@ -1,0 +1,66 @@
+"""Child driver for tests/test_multihost.py — NOT a test module.
+
+Runs the real Trainer as one process of a 2-process CPU jax.distributed
+job (gloo collectives, 4 virtual devices per process = 8-device global
+mesh) and prints a JSON result line the parent test asserts on.
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(os.environ["SGT_MH_PID"])
+    jax.distributed.initialize(
+        coordinator_address=os.environ["SGT_MH_COORD"],
+        num_processes=int(os.environ["SGT_MH_NPROC"]),
+        process_id=pid)
+
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    cfg = load_config(["--config", os.environ["SGT_MH_CONFIG"]])
+    # per-process WORK dirs (log/config snapshots race-free) but a SHARED
+    # checkpoint dir: every process participates in the Orbax save (its
+    # multihost barriers and commit markers require one common directory;
+    # the primary host does the writing)
+    cfg.work_dir = os.path.join(cfg.work_dir, f"p{pid}")
+    tr = Trainer(cfg)
+
+    shard = tr.iterators["train"]._epoch_indices(0).tolist()
+    losses = []
+    for e in range(cfg.num_epoch):
+        stats = tr.train_epoch(e)
+        losses.append(stats["loss"])
+        tr.save(e)
+    acc = tr.evaluate(cfg.num_epoch - 1)
+
+    ypos = np.asarray(
+        tr.state.params["l1"]["tcn1"]["shift_in"]["ypos"]).tolist()
+    checksum = float(sum(
+        float(np.abs(np.asarray(leaf)).sum())
+        for leaf in jax.tree_util.tree_leaves(tr.state.params)))
+    out = {
+        "pid": pid,
+        "proc_count": jax.process_count(),
+        "global_devices": len(jax.devices()),
+        "local_devices": len(jax.local_devices()),
+        "losses": losses,
+        "acc": float(acc),
+        "ypos": ypos,
+        "checksum": checksum,
+        "shard": shard,
+        "save_dir": tr.save_dir,
+        "ckpts": (sorted(os.listdir(tr.save_dir))
+                  if os.path.isdir(tr.save_dir) else []),
+    }
+    print("MHRESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
