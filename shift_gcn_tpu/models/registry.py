@@ -14,7 +14,7 @@ import dataclasses
 from typing import Any, Callable, Dict, NamedTuple
 
 from shift_gcn_tpu.graphs import get_graph
-from shift_gcn_tpu.models import shift_gcn, stgcn
+from shift_gcn_tpu.models import ring_gnn, shift_gcn, stgcn
 
 
 class ModelFamily(NamedTuple):
@@ -61,11 +61,18 @@ register_model(ModelFamily(
     init=stgcn.init_params,
     apply=stgcn.apply,
 ))
+register_model(ModelFamily(
+    name="ring_gnn",
+    build_config=ring_gnn.config_from_args,
+    init=ring_gnn.init_params,
+    apply=ring_gnn.apply,
+))
 
 _ALIASES = {
     "model.shift_gcn.Model": "shift_gcn",
     "shift_gcn_tpu.models.shift_gcn": "shift_gcn",
     "shift_gcn_tpu.models.stgcn": "stgcn",
+    "shift_gcn_tpu.models.ring_gnn": "ring_gnn",
     "agcn": "stgcn",
 }
 

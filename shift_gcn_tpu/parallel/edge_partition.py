@@ -228,6 +228,58 @@ def make_edge_sharded_apply(
     return sharded_apply
 
 
+def make_ring_sharded_apply(
+    config,
+    mesh,
+    *,
+    batch_axis: str = "data",
+    edge_axis: str = "model",
+    apply_fn=None,
+):
+    """Shared builder: a shard_map'd model apply with NODE features (and
+    the pre-bucketed edge steps) sharded over ``edge_axis`` — the `ring`
+    strategy as a launchable trainer mode, for model families whose
+    apply takes ``ring_steps`` (the ring_gnn family: large synthetic
+    graphs where replicating node features is the thing being avoided).
+    Feeder clips (N, C, T, V, M) shard their V axis; logits come back
+    batch-sharded and edge-axis-replicated (the pooled mean psums over
+    the ring axis inside the model)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shift_gcn_tpu.models import ring_gnn
+
+    model_apply = apply_fn or ring_gnn.apply
+    p_shards = mesh.shape[edge_axis]
+    edges = ring_gnn.synthetic_graph(config)
+    steps, v_pad, _v_loc = partition_edges_ring(
+        edges, p_shards, config.num_nodes)
+    if v_pad != config.num_nodes:
+        raise ValueError(
+            f"num_nodes={config.num_nodes} must divide evenly over the "
+            f"{p_shards}-way edge axis (next multiple: {v_pad})")
+    edge_sharding = NamedSharding(mesh, P(edge_axis))
+    steps_dev = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, edge_sharding), steps)
+    step_specs = jax.tree_util.tree_map(lambda _: P(edge_axis), steps)
+    data_spec = P(batch_axis, None, None, edge_axis, None)
+
+    def sharded_apply(params, bn_state, data, training):
+        def inner(p, s, d, st):
+            local = jax.tree_util.tree_map(lambda a: a[0], st)
+            return model_apply(
+                p, s, d, config, training=training,
+                ring_steps=local, edge_axis=edge_axis)
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), P(), data_spec, step_specs),
+            out_specs=(P(batch_axis), P()),
+        )(params, bn_state, data, steps_dev)
+
+    return sharded_apply
+
+
 def make_edge_sharded_train_step(
     config,
     wd_tree,

@@ -217,29 +217,49 @@ class Trainer:
                 raise ValueError(
                     "edge_partition is not supported with shard_time "
                     "(docs/DESIGN.md, composition boundaries)")
-            if self.cfg.edge_strategy != "gather":
-                raise ValueError(
-                    f"edge_strategy={self.cfg.edge_strategy!r}: training "
-                    "supports 'gather' only; 'ring' is the aggregation-"
-                    "layer strategy for node-sharded graphs "
-                    "(docs/DESIGN.md, composition boundaries)")
             if self.mesh.shape["model"] < 2:
                 raise ValueError(
                     "edge_partition needs mesh_shape [data, model] with "
                     "model >= 2 (the 'model' axis carries the edge shards)")
             apply_params = inspect.signature(
                 self.family.apply).parameters
-            if "edges" not in apply_params:
+            if self.cfg.edge_strategy == "ring":
+                # node-sharded ring training: for families whose apply
+                # takes ring_steps (the ring_gnn family — graphs too
+                # large to replicate node features;
+                # configs/synthetic_ring.yaml).  The skeleton families
+                # stay on 'gather': at V <= 33 replication is free and
+                # node-sharding gains nothing (docs/DESIGN.md,
+                # composition boundaries).
+                if "ring_steps" not in apply_params:
+                    raise ValueError(
+                        f"edge_strategy='ring' is not supported by model "
+                        f"family {self.cfg.model!r} (its apply() has no "
+                        "ring_steps parameter).  Ring node-sharding is "
+                        "for graphs too large to replicate — use the "
+                        "ring_gnn family (configs/synthetic_ring.yaml); "
+                        "skeleton graphs (V<=33) train with "
+                        "edge_strategy='gather' (docs/DESIGN.md)")
+                sharded_apply = ep.make_ring_sharded_apply(
+                    self.model_config, self.mesh,
+                    batch_axis="data", edge_axis="model",
+                    apply_fn=self.family.apply)
+            elif self.cfg.edge_strategy == "gather":
+                if "edges" not in apply_params:
+                    raise ValueError(
+                        f"edge_partition is not supported by model family "
+                        f"{self.cfg.model!r} (its apply() has no edges "
+                        "parameter; the stgcn family has)")
+                # one shard_map'd apply (one device-resident partitioned
+                # edge list) shared by both steps
+                sharded_apply = ep.make_edge_sharded_apply(
+                    self.model_config, self.mesh,
+                    batch_axis="data", edge_axis="model",
+                    apply_fn=self.family.apply)
+            else:
                 raise ValueError(
-                    f"edge_partition is not supported by model family "
-                    f"{self.cfg.model!r} (its apply() has no edges "
-                    "parameter; the stgcn family has)")
-            # one shard_map'd apply (one device-resident partitioned edge
-            # list) shared by both steps
-            sharded_apply = ep.make_edge_sharded_apply(
-                self.model_config, self.mesh,
-                batch_axis="data", edge_axis="model",
-                apply_fn=self.family.apply)
+                    f"unknown edge_strategy={self.cfg.edge_strategy!r} "
+                    "(expected 'gather' or 'ring')")
             train_step = ep.make_edge_sharded_train_step(
                 self.model_config, self.wd_tree, self.mesh,
                 batch_axis="data", edge_axis="model",
