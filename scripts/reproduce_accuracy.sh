@@ -26,8 +26,10 @@
 # Re-entry safe: every stream trains with `--resume auto`, so an
 # interrupted unattended run (preemption, worker crash) just reruns this
 # script — finished streams skip (their final checkpoint resumes past
-# the last epoch), the interrupted stream continues from its newest
-# checkpoint (tests/test_runbook_resume.py exercises kill + rerun).
+# the last epoch; a stream killed DURING its final eval re-evaluates
+# without retraining — Trainer.start's missing-pickle guard), data
+# stages skip on completion markers written only after they finish
+# (tests/test_runbook_resume.py exercises kill + rerun).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -48,11 +50,15 @@ echo "== reproduce_accuracy: mode=${MODE} data=${DATA_DIR} epochs=${EPOCHS} =="
 
 # ---------------------------------------------------------------- stage 1
 # joint-stream data: MediaPipe extraction (real) or synthetic generator.
-# Re-entry: if the joint artifacts already exist, skip — a rerun after an
-# interruption must not redo hours of pose extraction.
-if [[ -f "${DATA_DIR}/train_data_joint.npy" \
+# Re-entry: skip on the stage-completion marker (written only AFTER the
+# stage finishes — bare artifact existence is not interruption-safe:
+# np.save / open_memmap create files before their contents are complete)
+# or on a fully-present pre-existing artifact set (manual gendata runs).
+STAGE1_DONE="${DATA_DIR}/.stage1.done"
+if [[ -f "${STAGE1_DONE}" ]] || [[ -f "${DATA_DIR}/train_data_joint.npy" \
       && -f "${DATA_DIR}/val_data_joint.npy" \
-      && -f "${DATA_DIR}/train_label.pkl" ]]; then
+      && -f "${DATA_DIR}/train_label.pkl" \
+      && -f "${DATA_DIR}/val_label.pkl" ]]; then
     echo "== stage 1: joint data already present, skipping gendata =="
 elif [[ "${MODE}" == real ]]; then
     python -m shift_gcn_tpu.data.gendata.mediapipe \
@@ -81,16 +87,21 @@ for part, n in (("train", n_train), ("val", n_val)):
     print(f"synthetic {part}: {data.shape}")
 EOF
 fi
+touch "${STAGE1_DONE}"
 
 # ---------------------------------------------------------------- stage 2
-# bone + motion modality derivation (the real pipeline in both modes);
-# skipped on re-entry when the derived artifacts already exist
-if [[ -f "${DATA_DIR}/train_data_bone_motion.npy" \
-      && -f "${DATA_DIR}/val_data_bone_motion.npy" ]]; then
+# bone + motion modality derivation (the real pipeline in both modes).
+# Re-entry: marker ONLY — the memmap writer (modality_cli) preallocates
+# full-size .npy files before filling them, so a killed run leaves
+# zero-tailed artifacts that a bare existence check would wrongly accept.
+# Rederiving is minutes, never hours; correctness wins.
+STAGE2_DONE="${DATA_DIR}/.stage2.done"
+if [[ -f "${STAGE2_DONE}" ]]; then
     echo "== stage 2: modality artifacts already present, skipping =="
 else
     python -m shift_gcn_tpu.data.gendata.modality_cli \
         --data-dir "${DATA_DIR}" --graph mediapipe_pose --sets train val
+    touch "${STAGE2_DONE}"
 fi
 
 # ---------------------------------------------------------------- stage 3

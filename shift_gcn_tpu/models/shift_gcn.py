@@ -264,7 +264,8 @@ def _apply_shift_gcn(
 
     x: (N, T, V, C_in) -> (N, T, V, C_out).
     """
-    low = resolve_lowering(low)
+    if low is None:  # direct callers; apply() passes the resolved value
+        low = resolve_lowering(None)
     lp = low.bn_lp if training else low.bn_lp_eval
     n, t, v, cin = x.shape
     if use_pallas:
@@ -335,7 +336,8 @@ def _apply_shift_tcn(
     """
     import importlib
 
-    low = resolve_lowering(low)
+    if low is None:  # direct callers; apply() passes the resolved value
+        low = resolve_lowering(None)
     lp = low.bn_lp if training else low.bn_lp_eval
 
     if time_axis is not None:
@@ -474,7 +476,7 @@ def _apply_block(
             raise ValueError(
                 "time-sharded apply supports only k=1 residual convs "
                 "(k>1 would need its own halo exchange)")
-        low_r = resolve_lowering(low)
+        low_r = low if low is not None else resolve_lowering(None)
         res = temporal_conv(
             x, params["residual"]["conv"]["weight"],
             params["residual"]["conv"]["bias"], stride=spec.stride,

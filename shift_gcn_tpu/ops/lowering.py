@@ -130,11 +130,25 @@ def from_dict(d: Optional[Dict[str, Any]]) -> Lowering:
         raise KeyError(
             f"WRONG ARG in lowering config: {sorted(unknown)}; "
             f"valid keys: {sorted(valid)}")
-    # YAML booleans/ints arrive typed; strings for the enum fields
+    # YAML booleans/ints arrive typed; strings for the enum fields.
+    # Bool fields parse string spellings explicitly — bool("0") is True,
+    # which would silently invert quoted YAML like `bn_lp: "0"`.
+    _TRUE = {"1", "true", "yes", "on"}
+    _FALSE = {"0", "false", "no", "off"}
     coerced = {}
     for k, v in d.items():
         default = getattr(Lowering(), k)
         if isinstance(default, bool):
+            if isinstance(v, str):
+                lv = v.strip().lower()
+                if lv in _TRUE:
+                    v = True
+                elif lv in _FALSE:
+                    v = False
+                else:
+                    raise ValueError(
+                        f"lowering.{k}={v!r}: not a boolean "
+                        f"(use true/false)")
             coerced[k] = bool(v)
         elif isinstance(default, int):
             coerced[k] = int(v)

@@ -45,17 +45,17 @@ class Trainer:
         self.logger = RunLogger(self.work_dir, to_file=cfg.print_log)
         os.makedirs(os.path.join(self.work_dir, "eval_results"),
                     exist_ok=True)
-        # resolve the lowering/fusion selection (env > config > default)
-        # BEFORE snapshotting, so the work-dir config.yaml records the
-        # exact numerics this run compiles with (ops/lowering.py)
+        # resolve the lowering/fusion selection (env > config > default);
+        # the snapshot write happens after the model config is built so
+        # the work-dir config.yaml records exactly what this run compiles
+        # with — and never claims a lowering for a family that has no
+        # lowering surface (ops/lowering.py)
         from shift_gcn_tpu.ops import lowering as lowering_lib
 
-        merged = {**(cfg.model_args.get("lowering") or {}),
-                  **(cfg.lowering or {})}
-        self.lowering = lowering_lib.resolve(lowering_lib.from_dict(merged))
-        cfg.lowering = lowering_lib.as_dict(self.lowering)
-        config_lib.save_config(cfg, os.path.join(self.work_dir,
-                                                 "config.yaml"))
+        self._explicit_lowering = {**(cfg.model_args.get("lowering") or {}),
+                                   **(cfg.lowering or {})}
+        self.lowering = lowering_lib.resolve(
+            lowering_lib.from_dict(self._explicit_lowering))
         # snapshot the model source into the work dir for reproducibility
         # (reference: main.py:257 copies the model file)
         try:
@@ -98,9 +98,26 @@ class Trainer:
             # model config, so the jitted steps' numerics are pinned by
             # value, not by ambient env state
             overrides["lowering"] = self.lowering
+            self.cfg.lowering = lowering_lib.as_dict(self.lowering)
+        elif self._explicit_lowering:
+            # a configured lowering the family cannot honor is an error,
+            # not a silent no-op with a false provenance record
+            raise ValueError(
+                f"model family {cfg.model!r} has no lowering surface "
+                f"(its config has no 'lowering' field); configured "
+                f"lowering keys {sorted(self._explicit_lowering)} would "
+                "be ignored.  Remove the 'lowering' config key, or use "
+                "the shift_gcn family.  (SGT_* env vars still apply to "
+                "this family's env-resolved ops, e.g. batch_norm.)")
+        else:
+            # snapshot stays honest: this run has no config-pinned
+            # lowering (env/defaults resolve at trace time)
+            self.cfg.lowering = {}
         if overrides:
             self.model_config = dataclasses.replace(
                 self.model_config, **overrides)
+        config_lib.save_config(cfg, os.path.join(self.work_dir,
+                                                 "config.yaml"))
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -320,13 +337,20 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
-        # sequence parallelism: transfer batches directly into the
-        # T-sharded layout (no per-step reshard inside the jit)
+        # transfer batches directly into their sharded layouts (no
+        # per-step reshard inside the jit): seqpar shards T over 'model';
+        # ring edge-partition shards the NODE axis over 'model' — for the
+        # large-V graphs ring exists for, landing the clip replicated
+        # would be exactly the memory cost the strategy avoids
         from jax.sharding import PartitionSpec as P
 
-        self._batch_specs = (
-            {"data": P("data", None, "model")} if self.cfg.shard_time
-            else None)
+        if self.cfg.shard_time:
+            self._batch_specs = {"data": P("data", None, "model")}
+        elif self.cfg.edge_partition and self.cfg.edge_strategy == "ring":
+            self._batch_specs = {
+                "data": P("data", None, None, "model", None)}
+        else:
+            self._batch_specs = None
         if (self.mesh.shape["model"] > 1 and not self.cfg.shard_time
                 and not self.cfg.edge_partition):
             # tensor parallelism: commit the state to the TP shardings
@@ -392,6 +416,13 @@ class Trainer:
             opt_state=payload["opt_state"],
             global_step=payload["global_step"],
         )
+        # restored arrays land committed on one device; commit them
+        # replicated over the mesh so a resume that goes straight to
+        # eval (resumed-past-the-end rerun) composes with mesh-sharded
+        # batches (TP/edge modes re-commit their own shardings in
+        # _build_steps afterwards)
+        self.state = jax.device_put(
+            self.state, mesh_lib.replicated(self.mesh))
         self.start_epoch = int(payload["meta"]["epoch"]) + 1
         self.best_acc = float(payload["meta"]["best_acc"])
         # global_step is a scalar normally, a stacked (4,) under fourstream
@@ -417,6 +448,19 @@ class Trainer:
                     self.save(epoch)
                 if is_last or (epoch + 1) % cfg.eval_interval == 0:
                     self.evaluate(epoch)
+            best_pkl = os.path.join(self.work_dir, "eval_results",
+                                    "best_acc.pkl")
+            if not os.path.exists(best_pkl):
+                # resumed-past-the-end runs (auto-resume after a kill
+                # DURING the final eval: the checkpoint exists, so the
+                # epoch loop above is empty) would otherwise never
+                # produce the score pickle the ensemble consumes —
+                # evaluate once so a plain rerun always completes the
+                # contract (reference: main.py:496-502)
+                self.logger.log(
+                    "No best-score pickle found after training; running "
+                    "the final evaluation")
+                self.evaluate(cfg.num_epoch - 1)
             self.logger.log(
                 f"best accuracy: {self.best_acc} "
                 f"model_name: {self.save_dir}")

@@ -88,6 +88,16 @@ class TestResolutionPrecedence:
         assert low.max_shift == 4
         assert low.tcn_freq_fuse == "1"
 
+    def test_from_dict_string_booleans_keep_their_meaning(self):
+        # quoted YAML like `bn_lp: "0"` must DISABLE, not bool("0")->True
+        low = low_lib.from_dict({"bn_lp": "0", "tcn_fuse": "true",
+                                 "bn_lp_eval": "false"})
+        assert low.bn_lp is False
+        assert low.tcn_fuse is True
+        assert low.bn_lp_eval is False
+        with pytest.raises(ValueError, match="not a boolean"):
+            low_lib.from_dict({"tcn_fuse": "maybe"})
+
 
 def _tiny_model(lowering=None):
     from shift_gcn_tpu.models.shift_gcn import (BlockSpec, ModelConfig,
@@ -283,3 +293,40 @@ class TestTrainerIntegration:
             "Experiment_name: t\nlowering:\n  tshift_impl: matmul\n")
         cfg = load_config(["--config", str(cfg_file)])
         assert cfg.lowering == {"tshift_impl": "matmul"}
+
+    def test_family_without_lowering_surface_rejects_explicit_keys(
+            self, tmp_path):
+        """A configured lowering a family cannot honor is an error with
+        a clear message — never a silent no-op with a false snapshot
+        (code-review r4)."""
+        import yaml
+
+        from test_training import _write_synthetic_dataset
+        from shift_gcn_tpu.train.config import ExperimentConfig
+        from shift_gcn_tpu.train.trainer import Trainer
+
+        data_path, label_path = _write_synthetic_dataset(tmp_path)
+
+        def cfg(**kw):
+            return ExperimentConfig(
+                Experiment_name="nolow",
+                work_dir=str(tmp_path / "work"),
+                model_saved_name=str(tmp_path / "save"),
+                model="shift_gcn_tpu.models.stgcn",
+                model_args={"num_class": 2, "num_point": 25,
+                            "num_person": 1},
+                train_feeder_args={"data_path": data_path,
+                                   "label_path": label_path},
+                test_feeder_args={"data_path": data_path,
+                                  "label_path": label_path},
+                batch_size=8, test_batch_size=8, **kw)
+
+        with pytest.raises(ValueError, match="no lowering surface"):
+            Trainer(cfg(lowering={"bn_lp_eval": False}))
+        # without explicit keys the family builds fine and the snapshot
+        # honestly records NO config-pinned lowering
+        tr = Trainer(cfg())
+        with open(tmp_path / "work" / "nolow" / "config.yaml") as f:
+            snap = yaml.safe_load(f)
+        assert snap["lowering"] == {}
+        assert not hasattr(tr.model_config, "lowering")

@@ -106,7 +106,15 @@ def mh_run(tmp_path_factory):
         env["SGT_MH_NPROC"] = "2"
         env["SGT_MH_COORD"] = f"127.0.0.1:{port}"
         env["SGT_MH_CONFIG"] = cfg_path
-        env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+        # CLAUDE.md invariant: never set PYTHONPATH without the platform
+        # sitecustomize dir (harmless here — the children pin CPU — but
+        # subprocess launches must not become a template that drops it)
+        parts = [ROOT]
+        if os.path.isdir("/root/.axon_site"):
+            parts.append("/root/.axon_site")
+        if env.get("PYTHONPATH"):
+            parts.append(env["PYTHONPATH"])
+        env["PYTHONPATH"] = os.pathsep.join(parts)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(ROOT, "tests", "mh_driver.py")],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

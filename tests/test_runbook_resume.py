@@ -102,3 +102,58 @@ def test_runbook_kill_after_stream1_then_rerun_resumes(tmp_path):
     for stream in ("joint", "bone", "joint_motion", "bone_motion"):
         assert (tmp_path / "work" / f"mediapipe_ShiftGCN_{stream}"
                 / "eval_results" / "best_acc.pkl").exists(), stream
+
+
+@pytest.mark.slow
+def test_resumed_past_end_run_still_writes_best_pickle(tmp_path):
+    """The final-eval wedge (code-review r4): a kill AFTER the last
+    checkpoint save but DURING the final eval leaves a run whose
+    auto-resume skips every epoch — Trainer.start() must still produce
+    eval_results/best_acc.pkl (re-evaluate, not retrain) or the ensemble
+    stage crash-loops forever."""
+    import pickle
+
+    import numpy as np
+
+    from shift_gcn_tpu.train.config import ExperimentConfig
+    from shift_gcn_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    n = 16
+    labels = rng.integers(0, 2, n)
+    data = rng.standard_normal((n, 3, 16, 25, 1)).astype(np.float32)
+    np.save(tmp_path / "data.npy", data)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump(([f"s{i}" for i in range(n)], labels.tolist()), f)
+
+    def make_cfg():
+        return ExperimentConfig(
+            Experiment_name="wedge",
+            work_dir=str(tmp_path / "work"),
+            model_saved_name=str(tmp_path / "save"),
+            model_args={"num_class": 2, "num_point": 25, "num_person": 1,
+                        "blocks": [[3, 8, 1, 0]]},
+            train_feeder_args={"data_path": str(tmp_path / "data.npy"),
+                               "label_path": str(tmp_path / "label.pkl")},
+            test_feeder_args={"data_path": str(tmp_path / "data.npy"),
+                              "label_path": str(tmp_path / "label.pkl")},
+            batch_size=8, test_batch_size=8, num_epoch=1,
+            eval_interval=1, save_interval=1, device_guard=False,
+            resume="auto", print_log=False,
+        )
+
+    # simulate the wedge: train + save the final checkpoint, but "die"
+    # before the final eval completes (no eval_results written)
+    tr = Trainer(make_cfg())
+    tr.train_epoch(0)
+    tr.save(0)
+    best_pkl = (tmp_path / "work" / "wedge" / "eval_results"
+                / "best_acc.pkl")
+    assert not best_pkl.exists()
+
+    # plain rerun: auto-resume lands past the end; start() must
+    # re-evaluate (zero retraining) and write the pickle
+    tr2 = Trainer(make_cfg())
+    assert tr2.start_epoch == 1  # nothing left to train
+    tr2.start()
+    assert best_pkl.exists()
