@@ -170,3 +170,92 @@ class TestStateDictTranslation:
         assert not np.allclose(
             np.asarray(tr.state.params["fc"]["weight"]),
             sd["fc.weight"].numpy())
+
+
+class TestTorchExport:
+    """Export to the reference .pt format (the inverse of import): a user
+    can take weights trained here back to the reference codebase
+    (main.py --weights / resume formats)."""
+
+    def _trees(self):
+        import jax
+
+        from shift_gcn_tpu.models.shift_gcn import init_params
+
+        config = _config()
+        params, bn_state = init_params(jax.random.key(5), config)
+        pn = jax.tree_util.tree_map(np.asarray, params)
+        sn = jax.tree_util.tree_map(np.asarray, bn_state)
+        return config, pn, sn
+
+    def test_state_dict_uses_reference_naming(self):
+        from shift_gcn_tpu.utils.checkpoint import (
+            pytrees_to_torch_state_dict)
+
+        config, pn, sn = self._trees()
+        sd = pytrees_to_torch_state_dict(pn, sn)
+        # Sequential indices for the gcn down path, not conv/bn names
+        down_keys = [k for k in sd if ".down." in k]
+        assert down_keys
+        assert all(".down.0." in k or ".down.1." in k for k in down_keys)
+        # the reference's non-trainable shift index buffers are present
+        # and match the flat-index rule (model/shift_gcn.py:108-118)
+        v = config.num_point
+        for i, spec in enumerate(config.blocks):
+            cin = spec.in_channels
+            idx = sd[f"l{i + 1}.gcn1.shift_in"]
+            want = np.array(
+                [(a * cin + b + b * cin) % (cin * v)
+                 for a in range(v) for b in range(cin)], dtype=np.int64)
+            np.testing.assert_array_equal(idx, want)
+        assert sd["data_bn.num_batches_tracked"].dtype == np.int64
+
+    def test_pt_roundtrip_is_exact(self, tmp_path):
+        from shift_gcn_tpu.utils.checkpoint import (
+            export_reference_checkpoint, load_reference_checkpoint)
+
+        _, pn, sn = self._trees()
+        path = str(tmp_path / "export.pt")
+        export_reference_checkpoint(
+            path, pn, sn, meta={"epoch": 7, "global_step": 99,
+                                "best_acc": 0.5})
+        params2, bn2, meta = load_reference_checkpoint(path)
+        assert meta == {"epoch": 7, "global_step": 99, "best_acc": 0.5}
+
+        def flat(tree, prefix=""):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    yield from flat(v, f"{prefix}{k}.")
+                else:
+                    yield prefix + k, np.asarray(v)
+
+        re_p = dict(flat(params2))
+        for name, val in flat(pn):
+            np.testing.assert_array_equal(re_p[name], val, err_msg=name)
+        re_s = dict(flat(bn2))
+        for name, val in flat(sn):
+            got = re_s[name]
+            if name.endswith("num_batches_tracked"):
+                got = got.astype(np.int32)
+            np.testing.assert_array_equal(got, val, err_msg=name)
+
+    def test_bare_state_dict_flavor_loads_as_weights(self, tmp_path):
+        """Without meta the file is a bare state_dict (the reference's
+        --weights format) and our own Trainer weight-import path accepts
+        it too."""
+        import torch
+
+        from shift_gcn_tpu.utils.checkpoint import (
+            export_reference_checkpoint, load_reference_checkpoint)
+
+        _, pn, sn = self._trees()
+        path = str(tmp_path / "weights.pt")
+        export_reference_checkpoint(path, pn, sn)
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        assert "model_state_dict" not in blob
+        assert "l1.gcn1.Linear_weight" in blob
+        params2, _, meta = load_reference_checkpoint(path)
+        assert meta == {}
+        np.testing.assert_array_equal(
+            np.asarray(params2["fc"]["weight"]),
+            np.asarray(pn["fc"]["weight"]))
