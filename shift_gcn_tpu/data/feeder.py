@@ -179,6 +179,21 @@ class BatchIterator:
         self.num_hosts = num_hosts
         self.prefetch = prefetch
 
+    def _host_quota(self) -> int:
+        """Samples each host is responsible for.  Training
+        (drop_last=True): floor — equal shards, surplus dropped like
+        DistributedSampler-with-drop-extras, so every host runs the same
+        step count (multi-process collectives need lockstep).  Eval
+        (drop_last=False): ceil — every sample is assigned to exactly
+        one host (the last host's shard may run short; its trailing
+        batches pad with mask-0 entries so step counts still match)."""
+        n = len(self.feeder)
+        if self.num_hosts <= 1:
+            return n
+        if self.drop_last:
+            return n // self.num_hosts
+        return -(-n // self.num_hosts)
+
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.feeder)
         if self.shuffle:
@@ -186,21 +201,32 @@ class BatchIterator:
                 self.seed + 1000003 * epoch).permutation(n)
         else:
             order = np.arange(n)
-        # contiguous per-host shard (equal length; surplus dropped like
-        # DistributedSampler with drop extras)
-        per_host = n // self.num_hosts if self.num_hosts > 1 else n
+        per_host = self._host_quota()
         start = self.host_id * per_host
         return order[start:start + per_host]
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_indices(0))
+        # from the QUOTA, not the local shard length: under eval
+        # host-sharding with indivisible n the last host's shard is
+        # short, but every host must execute the same number of
+        # (collective-running) eval steps
+        q = self._host_quota()
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return q // self.batch_size
+        return -(-q // self.batch_size)
 
     def _make_batch(
         self, idx: np.ndarray, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if len(idx) == 0:
+            # a fully-padded batch: the last host's eval shard ran out
+            # but every host must step in lockstep (_host_quota)
+            probe = self.feeder.get(0, rng)
+            return (np.zeros((self.batch_size,) + probe.shape,
+                             np.float32),
+                    np.zeros(self.batch_size, np.int32),
+                    np.full(self.batch_size, -1, np.int32),
+                    np.zeros(self.batch_size, np.float32))
         if self.feeder.supports_native_batch():
             data = self.feeder.native_loader.gather(idx)
         else:
@@ -222,8 +248,7 @@ class BatchIterator:
             Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (data, label, index, mask) batches with thread prefetch."""
         order = self._epoch_indices(epoch)
-        nb = len(order) // self.batch_size if self.drop_last else -(
-            -len(order) // self.batch_size)
+        nb = self.batches_per_epoch()
         rng = np.random.default_rng(
             self.seed + 7919 * epoch + 104729 * self.host_id)
 

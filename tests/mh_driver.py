@@ -40,6 +40,15 @@ def main() -> None:
         tr.save(e)
     acc = tr.evaluate(cfg.num_epoch - 1)
 
+    # the gathered eval must have scored EVERY val sample exactly once
+    # even though len(val) is indivisible by hosts and batch size
+    import pickle
+
+    eval_dir = os.path.join(tr.work_dir, "eval_results")
+    pkl = sorted(p for p in os.listdir(eval_dir) if p.startswith("epoch_"))
+    with open(os.path.join(eval_dir, pkl[-1]), "rb") as f:
+        eval_scores = len(pickle.load(f))
+
     ypos = np.asarray(
         tr.state.params["l1"]["tcn1"]["shift_in"]["ypos"]).tolist()
     checksum = float(sum(
@@ -52,6 +61,7 @@ def main() -> None:
         "local_devices": len(jax.local_devices()),
         "losses": losses,
         "acc": float(acc),
+        "eval_scores": eval_scores,
         "ypos": ypos,
         "checksum": checksum,
         "shard": shard,

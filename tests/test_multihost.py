@@ -37,6 +37,8 @@ import jax.numpy as jnp
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _N_TRAIN = 64
+_N_VAL = 61          # deliberately indivisible by hosts AND batch: the
+                     # gathered eval must still score every sample once
 _BATCH_PER_HOST = 4
 _EPOCHS = 2
 _BASE_LR = 0.05
@@ -45,7 +47,8 @@ _MODEL_ARGS = {"num_class": 2, "num_point": 25, "num_person": 1,
                "graph": "ntu_rgb_d", "blocks": _BLOCKS}
 
 
-def _write_dataset(tmp_path, n=_N_TRAIN, t=16, v=25, m=1, seed=3):
+def _write_dataset(tmp_path, prefix="train", n=_N_TRAIN, t=16, v=25, m=1,
+                   seed=3):
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, 2, n)
     data = rng.standard_normal((n, 3, t, v, m)).astype(np.float32) * 0.1
@@ -53,14 +56,15 @@ def _write_dataset(tmp_path, n=_N_TRAIN, t=16, v=25, m=1, seed=3):
     for i in range(n):
         if labels[i] == 1:
             data[i, 1] += drift
-    names = [f"s{i}.skeleton" for i in range(n)]
-    np.save(tmp_path / "data.npy", data)
-    with open(tmp_path / "label.pkl", "wb") as f:
+    names = [f"{prefix}{i}.skeleton" for i in range(n)]
+    np.save(tmp_path / f"{prefix}_data.npy", data)
+    with open(tmp_path / f"{prefix}_label.pkl", "wb") as f:
         pickle.dump((names, labels.tolist()), f)
-    return str(tmp_path / "data.npy"), str(tmp_path / "label.pkl")
+    return (str(tmp_path / f"{prefix}_data.npy"),
+            str(tmp_path / f"{prefix}_label.pkl"))
 
 
-def _write_config(tmp_path, data_path, label_path):
+def _write_config(tmp_path, data_path, label_path, val_data, val_label):
     import yaml
 
     cfg = {
@@ -69,8 +73,8 @@ def _write_config(tmp_path, data_path, label_path):
         "model_saved_name": str(tmp_path / "save"),
         "train_feeder_args": {"data_path": data_path,
                               "label_path": label_path},
-        "test_feeder_args": {"data_path": data_path,
-                             "label_path": label_path},
+        "test_feeder_args": {"data_path": val_data,
+                             "label_path": val_label},
         "model_args": _MODEL_ARGS,
         "batch_size": _BATCH_PER_HOST,
         "test_batch_size": _BATCH_PER_HOST,
@@ -90,7 +94,10 @@ def _write_config(tmp_path, data_path, label_path):
 def mh_run(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("mh")
     data_path, label_path = _write_dataset(tmp_path)
-    cfg_path = _write_config(tmp_path, data_path, label_path)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label)
 
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -144,6 +151,9 @@ def test_two_processes_agree_on_global_metrics(mh_run):
     assert r0["acc"] == r1["acc"]
     assert 0.0 <= r0["acc"] <= 1.0
     np.testing.assert_array_equal(r0["ypos"], r1["ypos"])
+    # every val sample scored exactly once despite 61 % 2 != 0 and
+    # 61 % 8 != 0 (ceil host quota + fully-padded lockstep batches)
+    assert r0["eval_scores"] == r1["eval_scores"] == _N_VAL
 
 
 @pytest.mark.slow
