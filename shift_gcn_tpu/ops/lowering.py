@@ -75,6 +75,12 @@ class Lowering:
     max_shift: int = 8
     exact_xpos: bool = False
 
+    def __post_init__(self) -> None:
+        # every construction path validates — a programmatic
+        # Lowering(tshift_impl='dtf') typo must raise here, not lower
+        # silently as some other impl downstream (advisor r4)
+        self.validate()
+
     @property
     def xpos_zero(self) -> bool:
         """True when the joint-axis (xpos) interpolation lowers as the
@@ -154,7 +160,7 @@ def from_dict(d: Optional[Dict[str, Any]]) -> Lowering:
             coerced[k] = int(v)
         else:
             coerced[k] = str(v)
-    return Lowering(**coerced).validate()
+    return Lowering(**coerced)  # __post_init__ validates
 
 
 def env_overrides() -> Dict[str, Any]:
@@ -176,7 +182,7 @@ def resolve(base: Optional[Lowering] = None) -> Lowering:
     base = base or Lowering()
     if not overrides:
         return base
-    return dataclasses.replace(base, **overrides).validate()
+    return dataclasses.replace(base, **overrides)  # __post_init__ validates
 
 
 def as_dict(low: Lowering) -> Dict[str, Any]:

@@ -81,6 +81,16 @@ class TestResolutionPrecedence:
         with pytest.raises(ValueError, match="max_shift"):
             low_lib.from_dict({"max_shift": 0})
 
+    def test_programmatic_construction_validates(self):
+        # direct construction (ModelConfig(lowering=Lowering(...))) must
+        # validate too — not only the from_dict/YAML path (advisor r4)
+        with pytest.raises(ValueError, match="tshift_impl"):
+            Lowering(tshift_impl="dtf")
+        with pytest.raises(ValueError, match="sgcn_impl"):
+            dataclasses.replace(Lowering(), sgcn_impl="fft")
+        with pytest.raises(ValueError, match="max_shift"):
+            Lowering(max_shift=0)
+
     def test_from_dict_coerces_yaml_types(self):
         low = low_lib.from_dict(
             {"tcn_fuse": True, "max_shift": 4, "tcn_freq_fuse": 1})
