@@ -348,7 +348,7 @@ def _apply_shift_tcn(
             training=training, axis_name=axis_name, lp=lp)
         h = sharded_temporal_shift_train(
             h, params["shift_in"]["xpos"], params["shift_in"]["ypos"], 1,
-            time_axis, batch_axes)
+            time_axis, batch_axes, low.max_shift)
         h = pointwise_conv(
             h, params["temporal_linear"]["weight"],
             params["temporal_linear"]["bias"],
@@ -356,7 +356,7 @@ def _apply_shift_tcn(
         h = jax.nn.relu(h)
         h = sharded_temporal_shift_train(
             h, params["shift_out"]["xpos"], params["shift_out"]["ypos"],
-            stride, time_axis, batch_axes)
+            stride, time_axis, batch_axes, low.max_shift)
         h, bn2_state = batch_norm(
             h, params["bn2"], state["bn2"], reduce_axes=(0, 1, 2),
             training=training, axis_name=axis_name, lp=lp)
@@ -369,7 +369,11 @@ def _apply_shift_tcn(
     # semantics + constraint VJP; requires the xpos-zero lowering)
     if low.tshift_impl == "pallas" and low.xpos_zero:
         from shift_gcn_tpu.ops.pallas.temporal_shift_kernel import (
-            temporal_shift_pallas as _tshift)
+            temporal_shift_pallas)
+
+        # radius pinned from the per-model lowering, not process state
+        _tshift = functools.partial(temporal_shift_pallas,
+                                    max_shift=low.max_shift)
     else:
         _tshift = functools.partial(temporal_shift, low=low)
 

@@ -41,10 +41,10 @@ docs/PERF.md):
 - bn_lp / bn_lp_eval: low-precision BN normalize pass in training /
   eval (ops/batchnorm.py; eval default on: +5-7% at bf16).
 - max_shift: static temporal tap radius (exact while |ypos| stays
-  inside it; trainer checks at eval/save boundaries).  NOTE: the
-  time-sharded halo path (parallel/halo.py) and the Pallas temporal
-  kernel read the process-global radius (SGT_MAX_SHIFT) — see their
-  docstrings.
+  inside it; trainer checks at eval/save boundaries).  Threaded
+  explicitly through EVERY lowering including the time-sharded halo
+  path (parallel/halo.py) and the Pallas temporal kernel — no op reads
+  SGT_MAX_SHIFT except through resolve().
 - exact_xpos: keep the exact 3-tap joint-axis pass instead of the
   xpos==0 lowering (parity tests use this; xpos never trains —
   reference shift_cuda_kernel.cu:386).

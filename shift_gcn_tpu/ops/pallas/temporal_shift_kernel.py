@@ -1,6 +1,6 @@
 """Pallas TPU kernel for the learnable fractional temporal shift.
 
-The XLA lowering (ops/temporal_shift.py) runs a 2*MAX_SHIFT+2-tap depthwise
+The XLA lowering (ops/temporal_shift.py) runs a 2*max_shift+2-tap depthwise
 conv over an im2col'd window; this kernel computes the same hat-tap sum in
 VMEM in ONE HBM read + one write per element: the per-channel bilinear hat
 is materialized as a tiny (K=2*span+2, C) coefficient matrix on the XLA
@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from shift_gcn_tpu.ops.temporal_shift import MAX_SHIFT
+from shift_gcn_tpu.ops.lowering import resolve as _resolve_low
 
 _INTERPRET = False  # tests flip this to run on CPU
 
@@ -107,11 +107,10 @@ def _tshift_kernel(x_ref, coef_ref, out_ref, *, stride: int, span: int):
     out_ref[0] = acc
 
 
-def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
+def _run_tshift(x: jax.Array, pos: jax.Array, stride: int, span: int,
                 mode: str = "hat") -> jax.Array:
     n, t_in, v, c = x.shape
     t_out = t_in // stride
-    span = MAX_SHIFT
     cb = _pick_c_block(t_in, v, c, stride)
     pad_c = (-c) % cb
     if pad_c:
@@ -149,20 +148,28 @@ def _run_tshift(x: jax.Array, pos: jax.Array, stride: int,
     return out[..., :c]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _span(max_shift: Optional[int]) -> int:
+    """Static tap radius; None resolves via ops.lowering.resolve() at
+    trace time (callers with a per-model Lowering pass low.max_shift)."""
+    return max_shift if max_shift is not None else _resolve_low().max_shift
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def temporal_shift_pallas(
-    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1
+    x: jax.Array, xpos: jax.Array, ypos: jax.Array, stride: int = 1,
+    max_shift: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in replacement for ops.temporal_shift.temporal_shift
     (xpos-zero semantics; same stride-2 +0.5 rule, same constraint VJP)."""
     del xpos
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _run_tshift(x, ypos_eff, stride)
+    return _run_tshift(x, ypos_eff, stride, _span(max_shift))
 
 
-def _fwd(x, xpos, ypos, stride):
+def _fwd(x, xpos, ypos, stride, max_shift):
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    return _run_tshift(x, ypos_eff, stride), (x, xpos, ypos_eff)
+    return (_run_tshift(x, ypos_eff, stride, _span(max_shift)),
+            (x, xpos, ypos_eff))
 
 
 def _dilate_time(g: jax.Array, stride: int, t_in: int) -> jax.Array:
@@ -175,16 +182,17 @@ def _dilate_time(g: jax.Array, stride: int, t_in: int) -> jax.Array:
         [d, jnp.zeros((n, t_in - d.shape[1], v, c), g.dtype)], axis=1)
 
 
-def _bwd(stride, residuals, g):
+def _bwd(stride, max_shift, residuals, g):
+    span = _span(max_shift)
     x, xpos, ypos_eff = residuals
     # grad_input: the reverse shift — the same kernel with negated
     # positions (exact transpose of the 2-tap lerp; for stride 2 the
     # cotangent is zero-dilated back to input rate first, matching the
     # reference's evenness rule, shift_cuda_kernel.cu:155-256)
     gd = g if stride == 1 else _dilate_time(g, stride, x.shape[1])
-    grad_input = _run_tshift(gd, -ypos_eff, 1)
+    grad_input = _run_tshift(gd, -ypos_eff, 1, span)
     # constraint ypos grad (shift_cuda_kernel.cu:277-395)
-    dval_y = _run_tshift(x, ypos_eff, stride, mode="diff")
+    dval_y = _run_tshift(x, ypos_eff, stride, span, mode="diff")
     gy_raw = jnp.sum(jnp.mean(
         (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
     from shift_gcn_tpu.ops.temporal_shift import constraint_step

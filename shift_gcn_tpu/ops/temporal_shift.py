@@ -79,9 +79,10 @@ from shift_gcn_tpu.ops.lowering import resolve as _resolve_low
 #   SGT_EXACT_XPOS=1) keeps the exact 3-tap joint-axis pass (used by the
 #   oracle parity tests, which exercise artificially large xpos).
 #
-# Back-compat process-global views (import-time env resolution).  The
-# time-sharded halo path (parallel/halo.py) and the Pallas temporal kernel
-# read MAX_SHIFT as their process-global radius.
+# Back-compat process-global views (import-time env resolution) for tests
+# and probes; no op in the package reads these — the radius and impl are
+# threaded per call from the model's Lowering (or resolved at trace time
+# for low=None callers).
 MAX_SHIFT = _resolve_low().max_shift
 _DEFAULT_IMPL = Lowering().tshift_impl
 ASSUME_XPOS_ZERO = _resolve_low().xpos_zero

@@ -2,7 +2,7 @@
 
 The reference keeps whole 300-frame clips per device (feeder.py:74-90); the
 only cross-frame dependencies in the model are the fractional temporal shift
-(reach <= MAX_SHIFT + 1 frames) and the k x 1 residual conv (k=1 in
+(reach <= max_shift + 1 frames) and the k x 1 residual conv (k=1 in
 practice).  Sharding T over a mesh axis therefore needs only a halo exchange
 of a few frames between neighboring shards per block — `ppermute` traffic
 that rides ICI and overlaps with local compute under XLA's scheduler.
@@ -29,11 +29,20 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from shift_gcn_tpu.ops.lowering import resolve as _resolve_low
 from shift_gcn_tpu.ops.temporal_shift import (
-    MAX_SHIFT as _MAX_SHIFT,
     _floor_taps,
     _hat_taps,
 )
+
+
+def _radius(max_shift: Optional[int]) -> int:
+    """Static tap radius for this call.  None resolves through
+    ops.lowering.resolve() (env > defaults) at trace time — callers that
+    carry a per-model Lowering (models/shift_gcn.py) pass
+    ``low.max_shift`` explicitly so the radius is config-pinned, never
+    ambient process state."""
+    return max_shift if max_shift is not None else _resolve_low().max_shift
 
 
 def halo_exchange(x: jax.Array, halo_lo: int, halo_hi: int,
@@ -72,19 +81,19 @@ def _sharded_shift_conv(
     taps_v: Optional[jax.Array],
     stride: int,
     axis_name: str,
+    k: int,
 ) -> jax.Array:
     """Halo-extended dense tap contraction over a T-sharded block.
 
-    x: (N, T_local, V, C); taps_t: (2*MAX_SHIFT+2, C) anchored at
-    -MAX_SHIFT.  Returns (N, T_local // stride, V, C).
+    x: (N, T_local, V, C); taps_t: (2*k+2, C) anchored at -k, with k the
+    static tap radius.  Returns (N, T_local // stride, V, C).
     """
-    k = _MAX_SHIFT
     halo_lo, halo_hi = k, k + 1
     if x.shape[1] < max(halo_lo, halo_hi):
         raise ValueError(
-            f"T_local={x.shape[1]} must be >= MAX_SHIFT+1={k + 1} for a "
+            f"T_local={x.shape[1]} must be >= max_shift+1={k + 1} for a "
             "single-hop halo exchange; use more frames per shard or lower "
-            "SGT_MAX_SHIFT")
+            "lowering.max_shift")
     ext = halo_exchange(x, halo_lo, halo_hi, axis_name)
 
     n, t_ext, v, c = ext.shape
@@ -117,25 +126,30 @@ def sharded_temporal_shift(
     ypos: jax.Array,
     stride: int,
     axis_name: str,
+    max_shift: Optional[int] = None,
 ) -> jax.Array:
     """Temporal shift over a T-sharded activation (inside shard_map).
 
-    Exchanges MAX_SHIFT(+1) halo frames, runs the dense tap contraction on
+    Exchanges max_shift(+1) halo frames, runs the dense tap contraction on
     the extended block, and keeps the local T_local//stride output rows.
     Matches the unsharded `temporal_shift` exactly (global zero padding
     falls out of the zero halos at the chain ends).
 
-    Requires T_local divisible by stride and >= MAX_SHIFT + 1.  Forward
+    ``max_shift``: static tap radius; None resolves via
+    ops.lowering.resolve() (see `_radius`).
+
+    Requires T_local divisible by stride and >= max_shift + 1.  Forward
     lowering only — for training use `sharded_temporal_shift_train`, which
     adds the reference constraint backward.
     """
+    k = _radius(max_shift)
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    taps_t = _hat_taps(ypos_eff, -k, k + 1)
     taps_v = _hat_taps(xpos, -1, 1)
-    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name)
+    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name, k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def sharded_temporal_shift_train(
     x: jax.Array,
     xpos: jax.Array,
@@ -143,6 +157,7 @@ def sharded_temporal_shift_train(
     stride: int,
     axis_name: str,
     batch_axes: Tuple[str, ...] = (),
+    max_shift: Optional[int] = None,
 ) -> jax.Array:
     """`sharded_temporal_shift` with the reference constraint backward.
 
@@ -159,37 +174,39 @@ def sharded_temporal_shift_train(
     shift_cuda_kernel.cu:370-395).  Do not pre-divide by the device
     count.
     """
+    k = _radius(max_shift)
     ypos_eff = ypos if stride == 1 else ypos + 0.5
-    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    taps_t = _hat_taps(ypos_eff, -k, k + 1)
     taps_v = _hat_taps(xpos, -1, 1)
-    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name)
+    return _sharded_shift_conv(x, taps_t, taps_v, stride, axis_name, k)
 
 
-def _sts_fwd(x, xpos, ypos, stride, axis_name, batch_axes):
+def _sts_fwd(x, xpos, ypos, stride, axis_name, batch_axes, max_shift):
     ypos_eff = ypos if stride == 1 else ypos + 0.5
     out = sharded_temporal_shift_train(
-        x, xpos, ypos, stride, axis_name, batch_axes)
+        x, xpos, ypos, stride, axis_name, batch_axes, max_shift)
     return out, (x, xpos, ypos_eff)
 
 
-def _sts_bwd(stride, axis_name, batch_axes, residuals, g):
+def _sts_bwd(stride, axis_name, batch_axes, max_shift, residuals, g):
+    k = _radius(max_shift)
     x, xpos, ypos_eff = residuals
-    taps_t = _hat_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
+    taps_t = _hat_taps(ypos_eff, -k, k + 1)
     taps_v = _hat_taps(xpos, -1, 1)
 
     # grad_input: true VJP of the (linear-in-x) halo conv — the transposed
     # ppermutes carry boundary cotangents back to their source shards.
     _, vjp_fn = jax.vjp(
         lambda xx: _sharded_shift_conv(xx, taps_t, taps_v, stride,
-                                       axis_name), x)
+                                       axis_name, k), x)
     grad_input, = vjp_fn(g)
 
     # raw ypos grad: corner-difference conv, then mean over the global
     # batch (pmean over batch_axes of local-batch means) and sum over the
     # global (T, V) extent (psum over the time axis of local sums) —
     # identical reduction to the unsharded VJP (cu:343-349, 501-509).
-    dtaps_t = _floor_taps(ypos_eff, -_MAX_SHIFT, _MAX_SHIFT + 1)
-    dval_y = _sharded_shift_conv(x, dtaps_t, taps_v, stride, axis_name)
+    dtaps_t = _floor_taps(ypos_eff, -k, k + 1)
+    dval_y = _sharded_shift_conv(x, dtaps_t, taps_v, stride, axis_name, k)
     gy_local = jnp.sum(jnp.mean(
         (dval_y * g).astype(jnp.float32), axis=0), axis=(0, 1))
     gy_raw = jax.lax.psum(gy_local, axis_name)

@@ -4,7 +4,7 @@ Composes data parallelism and temporal-axis sharding in one SPMD program:
 the batch is sharded over `batch_axis`, the 300-frame clip axis over
 `time_axis`, parameters are replicated, and the only cross-shard traffic is
 
-- MAX_SHIFT(+1)-frame halo `ppermute`s per temporal shift (parallel/halo.py),
+- max_shift(+1)-frame halo `ppermute`s per temporal shift (parallel/halo.py),
 - BN statistic `pmean`s over (batch, time),
 - one `pmean` at the final pooling,
 - the gradient `psum` the shard_map transpose inserts for the replicated
@@ -18,7 +18,7 @@ reference cannot express.
 
 Shape requirements (validated at trace time): T divisible by the time
 shard count, every shard's running T_local divisible by each stride-2
-block's stride, and T_local >= MAX_SHIFT + 1 at every block.  The
+block's stride, and T_local >= max_shift + 1 at every block.  The
 reference T=300 does NOT shard cleanly under the default backbone
 (2-way: 150 -> 75 local is odd at the second stride-2 block); pad clips
 to T=304 (2-way) or T=320 (4-way).
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from shift_gcn_tpu.models import shift_gcn
-from shift_gcn_tpu.ops.temporal_shift import MAX_SHIFT
+from shift_gcn_tpu.ops.lowering import resolve as _resolve_low
 from shift_gcn_tpu.train.optim import sgd_update
 from shift_gcn_tpu.train.state import TrainState, cross_entropy
 
@@ -42,18 +42,21 @@ def validate_time_sharding(config, t: int, n_shards: int) -> None:
     """Reject shapes where local stride-2 downsampling would diverge from
     the unsharded model (floor drops / phase-shifted sampling): T must
     split evenly, every shard's running T_local must stay divisible by
-    each block's stride, and each block needs MAX_SHIFT+1 frames per
-    shard for the single-hop halo."""
+    each block's stride, and each block needs max_shift+1 frames per
+    shard for the single-hop halo.  The tap radius comes from the model
+    config's lowering (env > config > default), so the check matches the
+    radius the halo ops actually compile with."""
+    max_shift = _resolve_low(getattr(config, "lowering", None)).max_shift
     if t % n_shards != 0:
         raise ValueError(
             f"shard_time: T={t} is not divisible by {n_shards} time shards")
     t_local = t // n_shards
     for i, spec in enumerate(config.blocks):
-        if t_local < MAX_SHIFT + 1:
+        if t_local < max_shift + 1:
             raise ValueError(
                 f"shard_time: block l{i + 1} sees T_local={t_local} < "
-                f"MAX_SHIFT+1={MAX_SHIFT + 1}; use fewer shards, a longer "
-                "T, or lower SGT_MAX_SHIFT")
+                f"max_shift+1={max_shift + 1}; use fewer shards, a longer "
+                "T, or lower lowering.max_shift")
         if t_local % spec.stride != 0:
             raise ValueError(
                 f"shard_time: block l{i + 1} (stride {spec.stride}) sees "

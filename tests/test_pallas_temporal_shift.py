@@ -82,6 +82,22 @@ def test_channel_padding_path():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_two_radii_one_process():
+    """The kernel's tap span is a per-call static argument threaded from
+    lowering.max_shift, not process state: radius-4 and radius-8 calls
+    run in one process and agree (any radius >= |ypos| is exact)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 24, 3, 4)), jnp.float32)
+    ypos = jnp.asarray(rng.uniform(-3, 3, 4), jnp.float32)
+    want = np.asarray(ts.temporal_shift(x, jnp.zeros(4), ypos, 1))
+    r4 = np.asarray(pk.temporal_shift_pallas(
+        x, jnp.zeros(4), ypos, 1, max_shift=4))
+    r8 = np.asarray(pk.temporal_shift_pallas(
+        x, jnp.zeros(4), ypos, 1, max_shift=8))
+    np.testing.assert_allclose(r4, want, atol=1e-5)
+    np.testing.assert_array_equal(r4, r8)
+
+
 def test_model_dispatch_matches_default(monkeypatch):
     """SGT_TSHIFT_IMPL=pallas routes the model's temporal shifts through
     the kernel; eval forward must match the default lowering."""

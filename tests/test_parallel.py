@@ -349,8 +349,64 @@ class TestTimeShardedTrainStep:
         validate_time_sharding(full, 304, 2)     # 152 -> 76 -> 38: ok
         validate_time_sharding(full, 320, 4)     # 80 -> 40 -> 20: ok
         small = _small_config()
-        with pytest.raises(ValueError, match="MAX_SHIFT"):
-            validate_time_sharding(small, 32, 4)  # 8 local < MAX_SHIFT+1
+        with pytest.raises(ValueError, match="max_shift"):
+            validate_time_sharding(small, 32, 4)  # 8 local < max_shift+1
+
+    def test_validation_uses_config_lowering_radius(self):
+        """validate_time_sharding reads the radius from the model
+        config's lowering, not process state: a larger configured
+        radius needs more frames per shard (VERDICT r4 task 2)."""
+        import dataclasses
+
+        from shift_gcn_tpu.ops.lowering import Lowering
+        from shift_gcn_tpu.parallel.seqpar import validate_time_sharding
+
+        small = _small_config()                        # default radius 8
+        validate_time_sharding(small, 48, 4)           # 12 >= 8+1: ok
+        wide = dataclasses.replace(small,
+                                   lowering=Lowering(max_shift=12))
+        with pytest.raises(ValueError, match="max_shift\\+1=13"):
+            validate_time_sharding(wide, 48, 4)        # 12 < 12+1
+
+    def test_two_halo_radii_one_process(self):
+        """The halo tap radius is a per-call static argument threaded
+        from lowering.max_shift — NOT ambient process state: seqpar
+        train steps with radius 4 and radius 8 run in ONE process and
+        both match the unsharded step built with the same lowering
+        (VERDICT r4 task 2 / advisor r4 medium)."""
+        import dataclasses
+
+        from shift_gcn_tpu.ops.lowering import Lowering
+        from shift_gcn_tpu.parallel.seqpar import (
+            make_time_sharded_train_step)
+        from shift_gcn_tpu.train.optim import build_weight_decay_tree
+        from shift_gcn_tpu.train.state import (
+            create_train_state, make_train_step)
+
+        batch = self._batch(t=64)
+        lr = jnp.asarray(0.1, jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "time"))
+        for radius in (4, 8):
+            config = dataclasses.replace(
+                _small_config(), lowering=Lowering(max_shift=radius))
+            state = create_train_state(jax.random.key(0), config)
+            wd = build_weight_decay_tree(state.params)
+            s_ref, m_ref = jax.jit(make_train_step(config, wd))(
+                state, batch, lr)
+            step = make_time_sharded_train_step(
+                config, wd, mesh, batch_axis="data", time_axis="time")
+            s_sp, m_sp = jax.jit(step)(state, batch, lr)
+            np.testing.assert_allclose(
+                float(m_ref["loss"]), float(m_sp["loss"]), atol=1e-5)
+            flat_sp = dict(jax.tree_util.tree_leaves_with_path(
+                s_sp.params))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                    s_ref.params):
+                np.testing.assert_allclose(
+                    np.asarray(flat_sp[path]), np.asarray(leaf),
+                    atol=3e-5,
+                    err_msg=f"radius={radius} {jax.tree_util.keystr(path)}")
 
     @pytest.mark.slow
     def test_full_backbone_eval_matches_unsharded(self):
