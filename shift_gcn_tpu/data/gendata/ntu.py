@@ -9,7 +9,12 @@ with the same selection semantics as the reference
   coordinate std over frames (ntu_gendata.py:63-90),
 - benchmarks: NTU-60 xsub (training subjects) / xview (training cameras
   2,3); NTU-120 xsub (106-subject split) / xsetup (even setups train),
-- missing-skeleton exclusion list support,
+- missing-skeleton exclusion: the dataset's published corrupt-sample
+  manifests ship with the package (shift_gcn_tpu/data/manifests/, the
+  same lists the reference ships under data/nturgbd_raw/ and
+  data/nturgbd120_raw/ — 302 NTU-60 + 535 NTU-120 entries) and are the
+  CLI default; without them a rebuild silently ingests ~300 corrupt
+  samples,
 - pre_normalization applied batch-wise at the end.
 """
 
@@ -38,6 +43,24 @@ NTU120_TRAINING_SUBJECTS = (
     38, 45, 46, 47, 49, 50, 52, 53, 54, 55, 56, 57, 58, 59, 70, 74, 78,
     80, 81, 82, 83, 84, 85, 86, 89, 91, 92, 93, 94, 95, 97, 98, 100, 103)
 NTU120_TRAINING_SETUPS = tuple(range(2, 33, 2))
+
+_MANIFEST_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "manifests")
+
+
+def default_ignored_samples(benchmark: str) -> str:
+    """Packaged missing-skeleton manifest for a benchmark.
+
+    NTU-120 supersets NTU-60, so its benchmarks use the 535-entry list;
+    the NTU-60 benchmarks use the 302-entry list (reference ships these
+    as data/nturgbd_raw/NTU_RGBD_samples_with_missing_skeletons.txt and
+    data/nturgbd120_raw/NTU_RGBD120_samples_with_missing_skeletons.txt).
+    """
+    name = ("NTU_RGBD120_samples_with_missing_skeletons.txt"
+            if benchmark.startswith("ntu120")
+            else "NTU_RGBD_samples_with_missing_skeletons.txt")
+    return os.path.join(_MANIFEST_DIR, name)
 
 
 def read_skeleton_file(path: str) -> Dict:
@@ -166,7 +189,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="NTU data converter")
     parser.add_argument("--data-path", required=True)
     parser.add_argument("--out-folder", required=True)
-    parser.add_argument("--ignored-sample-path", default=None)
+    parser.add_argument(
+        "--ignored-sample-path", default="auto",
+        help="missing-skeleton exclusion list; 'auto' (default) uses the "
+             "packaged per-benchmark manifest, 'none' disables exclusion")
     parser.add_argument("--benchmark", nargs="+",
                         default=["xsub", "xview"])
     parser.add_argument("--part", nargs="+", default=["train", "val"])
@@ -174,9 +200,13 @@ def main(argv=None):
     for b in args.benchmark:
         for p in args.part:
             out = os.path.join(args.out_folder, b)
-            print(b, p)
-            gendata(args.data_path, out, args.ignored_sample_path,
-                    benchmark=b, part=p)
+            ignored = args.ignored_sample_path
+            if ignored == "auto":
+                ignored = default_ignored_samples(b)
+            elif ignored == "none":
+                ignored = None
+            print(b, p, f"(ignored: {ignored})")
+            gendata(args.data_path, out, ignored, benchmark=b, part=p)
 
 
 if __name__ == "__main__":

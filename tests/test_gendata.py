@@ -75,6 +75,45 @@ def test_read_xyz_and_gendata(tmp_path):
     assert labels2 == [0]
 
 
+def test_packaged_missing_skeleton_manifests(tmp_path):
+    """The dataset's published corrupt-sample lists ship with the package
+    and the CLI applies them by default: a sample named in the manifest
+    must be excluded from the rebuilt split (VERDICT r4 missing #3)."""
+    m60 = ntu.default_ignored_samples("xsub")
+    m120 = ntu.default_ignored_samples("ntu120-xsetup")
+    with open(m60) as f:
+        entries60 = [ln.strip() for ln in f if ln.strip()]
+    with open(m120) as f:
+        entries120 = [ln.strip() for ln in f if ln.strip()]
+    assert len(entries60) == 302
+    assert len(entries120) == 535
+    # every entry parses as an NTU sample name
+    for e in (entries60[0], entries60[-1], entries120[0], entries120[-1]):
+        ntu.parse_filename(e)
+
+    # end to end through the CLI defaults: one good train sample + one
+    # manifest-listed sample of the same split -> only the good one lands
+    data_dir = tmp_path / "skeletons"
+    data_dir.mkdir()
+    _write_skeleton_file(data_dir / "S001C001P001R001A043.skeleton", 10)
+    bad = next(e for e in entries60
+               if ntu.is_training_sample(ntu.parse_filename(e), "xsub"))
+    _write_skeleton_file(data_dir / f"{bad}.skeleton", 10)
+    out = tmp_path / "out"
+    ntu.main(["--data-path", str(data_dir), "--out-folder", str(out),
+              "--benchmark", "xsub", "--part", "train"])
+    with open(out / "xsub" / "train_label.pkl", "rb") as f:
+        names, _ = pickle.load(f)
+    assert names == ["S001C001P001R001A043.skeleton"]
+    # 'none' disables the exclusion
+    ntu.main(["--data-path", str(data_dir), "--out-folder",
+              str(tmp_path / "out2"), "--benchmark", "xsub",
+              "--part", "train", "--ignored-sample-path", "none"])
+    with open(tmp_path / "out2" / "xsub" / "train_label.pkl", "rb") as f:
+        names2, _ = pickle.load(f)
+    assert len(names2) == 2
+
+
 def test_bone_motion_cli_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     data = rng.standard_normal((6, 3, 10, 33, 1)).astype(np.float32)
