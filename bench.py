@@ -2,13 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "train_clips_per_sec", "value": N, "unit": "clips/s",
-   "vs_baseline": N / 47.0}
+   "vs_baseline": N / 47.0, ..., "eval": {"metric": "eval_clips_per_sec",
+   "value": N, "vs_baseline": N / 473.0, ...}}
 
-Baseline: the reference trains ~47 clips/s on one NVIDIA GPU (derived in
-BASELINE.md from TRAINING_REPORT.md:278-284 — 140 epochs x 42 batches x 64
-clips in ~2.2 h).  Same workload shape here: MediaPipe fall-detection config,
-batch 64, clips (3, 300, 33, 1), full train step (fwd + bwd + SGD update +
-BN state update) including host->device transfer of each batch.
+The default run measures BOTH halves of the headline — the train step
+(driver contract keys at top level) and the eval pass (nested record) —
+so the driver artifact carries the full number without scratch logs.
+
+Baselines (BASELINE.md): the reference trains ~47 clips/s and evals
+~473 clips/s on one NVIDIA GPU (TRAINING_REPORT.md:278-284, :373).
+Same workload shape here: MediaPipe fall-detection config, batch 64,
+clips (3, 300, 33, 1); the train number is the full step (fwd + bwd +
+SGD update + BN state update) including host->device transfer of each
+batch.
 """
 
 from __future__ import annotations
@@ -73,7 +79,8 @@ def main() -> None:
     parser.add_argument("--mode", default="train",
                         choices=["train", "eval", "spmm", "scaling",
                                  "edges", "fourstream", "io", "serve"],
-                        help="train step clips/s (default), eval clips/s, "
+                        help="train step clips/s with a nested eval "
+                        "record (default), eval clips/s alone, "
                         "sparse-aggregation edges/s, data-parallel "
                         "scaling efficiency across the local mesh, "
                         "edge-partitioned aggregation scaling "
@@ -249,6 +256,10 @@ def main() -> None:
     }
     if len(reps) < windows:
         record["windows_short"] = True
+    # the other half of the headline: the eval pass, same dataset/dtype
+    # knobs, nested so the driver's one-line artifact carries both medians
+    # (VERDICT r4 task 3; previously eval lived only in scratch logs)
+    record["eval"] = _eval_record(args)
     print(json.dumps(record))
 
 
@@ -379,34 +390,47 @@ def _reexec_fresh_process():
     sys.exit(result.returncode)
 
 
-def _bench_eval(args):
-    """Eval-pass throughput (reference baseline: ~473 clips/s,
-    TRAINING_REPORT.md:373)."""
+def _eval_record(args):
+    """Eval-pass throughput record (reference baseline: ~473 clips/s,
+    TRAINING_REPORT.md:373).  Printed alone by --mode eval and nested
+    under the default train record's "eval" key."""
     import jax
     import jax.numpy as jnp
 
-    from shift_gcn_tpu.models.shift_gcn import ModelConfig, apply, init_params
+    from shift_gcn_tpu.models.shift_gcn import (BlockSpec, ModelConfig,
+                                                apply, init_params)
 
-    config = ModelConfig(
-        compute_dtype=args.compute_dtype,
-        activation_dtype=args.activation_dtype,
-        **_DATASET_ARGS[args.dataset])
+    if args.smoke:
+        config = ModelConfig(
+            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+            blocks=(BlockSpec(3, 8, residual=False),
+                    BlockSpec(8, 16, stride=2)),
+            compute_dtype=args.compute_dtype,
+            activation_dtype=args.activation_dtype)
+        batch_size, t, steps = 8, 32, 3
+    else:
+        config = ModelConfig(
+            compute_dtype=args.compute_dtype,
+            activation_dtype=args.activation_dtype,
+            **_DATASET_ARGS[args.dataset])
+        batch_size, t, steps = args.batch_size, 300, args.steps
     params, state = init_params(jax.random.key(0), config)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
-        (args.batch_size, 3, 300, config.num_point,
+        (batch_size, 3, t, config.num_point,
          config.num_person)), jnp.float32)
     fwd = jax.jit(lambda p, s, xx: apply(p, s, xx, config,
                                          training=False)[0])
     # median of 3 windows, same relay-stall rationale as the train bench
     windows = 1 if args.smoke else 3
-    dts = [_timeit(fwd, params, state, x, steps=args.steps)
+    dts = [_timeit(fwd, params, state, x, steps=steps)
            for _ in range(windows)]
-    clips = args.batch_size / float(np.median(dts))
+    sec_per_batch = float(np.median(dts))
+    clips = batch_size / sec_per_batch
     # 473 clips/s is the MediaPipe-workload eval baseline (BASELINE.md);
     # no NTU-mode number is published
     base = 473.0 if args.dataset == "mediapipe" else None
-    print(json.dumps({
+    return {
         "metric": "eval_clips_per_sec",
         "value": round(clips, 2),
         "unit": "clips/s",
@@ -414,8 +438,14 @@ def _bench_eval(args):
         "baseline_source": ("reference GPU 473 clips/s (BASELINE.md)"
                             if base else "unpublished"),
         "dataset": args.dataset,
-        "window_reps": [round(args.batch_size / d, 1) for d in dts],
-    }))
+        "window_reps": [round(batch_size / d, 1) for d in dts],
+        "roofline": _roofline(config, t, batch_size, sec_per_batch,
+                              train=False),
+    }
+
+
+def _bench_eval(args):
+    print(json.dumps(_eval_record(args)))
 
 
 def _bench_spmm(args):

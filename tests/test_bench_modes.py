@@ -37,6 +37,15 @@ def test_train_mode_contract():
     # so vs_baseline must be a real ratio with its source named
     assert rec["vs_baseline"] is not None and rec["vs_baseline"] > 0
     assert "BASELINE.md" in rec["baseline_source"]
+    # the default run carries BOTH halves of the headline: a nested eval
+    # record with its own baseline ratio + roofline (VERDICT r4 task 3)
+    ev = rec["eval"]
+    assert ev["metric"] == "eval_clips_per_sec"
+    assert ev["value"] > 0 and ev["unit"] == "clips/s"
+    assert ev["vs_baseline"] is not None and ev["vs_baseline"] > 0
+    assert "473" in ev["baseline_source"]
+    assert ev["window_reps"]
+    assert 0 <= ev["roofline"]["mfu"] <= 1
 
 
 @pytest.mark.slow
@@ -51,6 +60,9 @@ def test_train_ntu_baseline_is_null_not_zero():
     assert rec["value"] > 0
     assert rec["vs_baseline"] is None
     assert rec["baseline_source"] == "unpublished"
+    # same semantics for the nested eval half
+    assert rec["eval"]["vs_baseline"] is None
+    assert rec["eval"]["baseline_source"] == "unpublished"
 
 
 @pytest.mark.slow
