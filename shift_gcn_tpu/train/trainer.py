@@ -450,7 +450,19 @@ class Trainer:
                     self.evaluate(epoch)
             best_pkl = os.path.join(self.work_dir, "eval_results",
                                     "best_acc.pkl")
-            if not os.path.exists(best_pkl):
+            need_final_eval = not os.path.exists(best_pkl)
+            if jax.process_count() > 1:
+                # work_dir is per-process in multi-host runs; after a kill
+                # during the final eval one process may have written its
+                # pickle while another did not, and evaluate() runs
+                # cross-process collectives — every process must make the
+                # SAME call or the others deadlock.  Process 0 decides.
+                from jax.experimental import multihost_utils as mhu
+
+                need_final_eval = bool(np.asarray(
+                    mhu.broadcast_one_to_all(
+                        np.asarray(need_final_eval))))
+            if need_final_eval:
                 # resumed-past-the-end runs (auto-resume after a kill
                 # DURING the final eval: the checkpoint exists, so the
                 # epoch loop above is empty) would otherwise never

@@ -472,7 +472,7 @@ def _assert_one_step_parity(config, xb, yb, seed=11, min_true=30,
 
     jloss, jgrads = jax.value_and_grad(loss_fn)(params, bn_state)
     # deeper stacks accumulate more fp32 reduction roundoff
-    assert abs(float(jloss) - float(tloss)) < 5e-5
+    assert abs(float(jloss) - float(tloss.detach())) < 5e-5
 
     checked_true, checked_pos = 0, 0
     pos_total, pos_mismatch = 0, 0
