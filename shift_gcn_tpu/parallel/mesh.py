@@ -41,7 +41,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, specs=None):
+def shard_batch(mesh: Mesh, batch, specs=None, *,
+                replicated_batch: bool = False):
     """Device-put a host batch dict with the batch axis sharded on 'data'.
 
     ``specs``: optional per-key PartitionSpec overrides (e.g. the
@@ -49,27 +50,62 @@ def shard_batch(mesh: Mesh, batch, specs=None):
     so the transfer lands already T-sharded instead of paying a per-step
     reshard inside the jit).
 
-    Multi-process (jax.process_count() > 1): each process passes its OWN
-    host shard (the feeder's host-sharded local batch) and the result is
-    one global jax.Array whose leading axis is the concatenation of the
-    per-process shards in process order — the global batch the jitted
-    step sees.  Only the plain DP layout is supported across processes
-    (specs overrides are a single-process feature; see Trainer guards).
+    Multi-process (jax.process_count() > 1), two layouts:
+
+    - ``replicated_batch=False`` (the 'data' mesh axis crosses
+      processes): each process passes its OWN host shard (the feeder's
+      host-sharded local batch) and the result is one global jax.Array
+      whose leading axis is the concatenation of the per-process shards
+      in process order — the global batch the jitted step sees.  Spec
+      overrides are honored as long as their leading axis stays 'data'
+      (jax.make_array_from_process_local_data assembles the
+      within-process minor-axis sharding, e.g. seqpar's T shards).
+    - ``replicated_batch=True`` (the 'data' axis does not cross
+      processes, e.g. pure tensor/sequence parallelism on a [1, N]
+      mesh): every process holds the IDENTICAL full batch (the feeders
+      run unsharded off one seed); the global shape equals the local
+      shape and each process contributes the shards it addresses.
+
+    Both multi-process layouts go through
+    jax.make_array_from_process_local_data — NOT device_put: a
+    cross-process device_put issued from the prefetch worker thread
+    deadlocks against in-flight collective executions on the gloo CPU
+    backend (probe6/probe7, scratch/), while the local-shard assembly
+    path is safe to pipeline.
     """
     default = batch_sharding(mesh)
     if jax.process_count() > 1:
-        if specs is not None:
-            raise NotImplementedError(
-                "multi-process training supports the plain DP batch "
-                "layout only (no per-key spec overrides)")
+        factor = 1 if replicated_batch else jax.process_count()
 
-        def put(a):
+        def put(a, sh=default):
             a = np.asarray(a)
-            global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+            global_shape = (a.shape[0] * factor,) + a.shape[1:]
             return jax.make_array_from_process_local_data(
-                default, a, global_shape)
+                sh, a, global_shape)
 
-        return jax.tree_util.tree_map(put, batch)
+        if specs is None:
+            return jax.tree_util.tree_map(put, batch)
+        if not isinstance(batch, dict):
+            raise TypeError(
+                "shard_batch with specs expects a dict batch keyed "
+                "like specs")
+        if not replicated_batch:
+            # per-process host shards concatenate along the leading axis;
+            # a spec that moved it elsewhere would interleave wrongly
+            # (replicated mode has the full array on every host, so any
+            # spec slices correctly)
+            for k, spec in specs.items():
+                if spec and spec[0] != "data":
+                    raise NotImplementedError(
+                        f"multi-process spec override for {k!r} must "
+                        f"keep the leading axis on 'data' (got {spec})")
+        return {
+            k: jax.tree_util.tree_map(
+                lambda a, s=(NamedSharding(mesh, specs[k])
+                             if k in specs else default):
+                put(a, s), v)
+            for k, v in batch.items()
+        }
     if specs is None:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, default), batch)

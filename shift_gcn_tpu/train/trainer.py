@@ -124,26 +124,40 @@ class Trainer:
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape)
         data_axis = self.mesh.shape["data"]
         nproc = jax.process_count()
+        # Multi-process batch layout (two shapes, both executed by
+        # tests/test_multihost.py on the 2-process CPU harness):
+        # - data axis crossing processes (data % nproc == 0): batch_size
+        #   is the PER-HOST batch; feeders host-shard; the global batch
+        #   (nproc * batch_size) is assembled from per-process shards.
+        #   Composes with TP (model axis within or across processes) and
+        #   shard_time (spec overrides keep the leading axis on 'data').
+        # - data axis == 1 (pure tensor/sequence parallelism, e.g. mesh
+        #   [1, N] with N spanning processes): every process feeds the
+        #   IDENTICAL full batch (same-seed unsharded feeders) and
+        #   device_put lands it in the process-spanning sharding.
+        self._hosts_shard_data = nproc > 1 and data_axis > 1
+        self._replicated_batch = nproc > 1 and data_axis == 1
         if nproc > 1:
-            # multi-process: batch_size is the PER-HOST batch; the global
-            # batch (nproc * batch_size) is what the data axis shards.
-            # Only plain data parallelism crosses processes (the other
-            # modes' state/batch layouts assume single-process arrays).
+            # fourstream/edge-partition state+edge layouts are still
+            # single-process (docs/DESIGN.md, composition boundaries)
             unsupported = [k for k, v in (
                 ("fourstream", cfg.fourstream),
-                ("shard_time", cfg.shard_time),
-                ("edge_partition", cfg.edge_partition),
-                ("tensor parallelism (mesh model axis > 1)",
-                 self.mesh.shape["model"] > 1)) if v]
+                ("edge_partition", cfg.edge_partition)) if v]
             if unsupported:
                 raise ValueError(
-                    f"multi-process training supports plain DP only; "
-                    f"unsupported here: {unsupported}")
+                    f"multi-process training supports DP / TP / "
+                    f"shard_time only; unsupported here: {unsupported}")
+            if data_axis > 1 and data_axis % nproc != 0:
+                raise ValueError(
+                    f"mesh data axis ({data_axis}) must be 1 (replicated "
+                    f"batches) or divisible by the process count "
+                    f"({nproc}) so host shards map onto it")
             for name, bs in (("batch_size", cfg.batch_size),
                              ("test_batch_size", cfg.test_batch_size)):
-                if (bs * nproc) % data_axis != 0:
+                global_bs = bs * (nproc if self._hosts_shard_data else 1)
+                if global_bs % data_axis != 0:
                     raise ValueError(
-                        f"{name}={bs} x {nproc} processes must be "
+                        f"{name}={bs} (global {global_bs}) must be "
                         f"divisible by the data mesh axis ({data_axis})")
         else:
             for name, bs in (("batch_size", cfg.batch_size),
@@ -316,6 +330,12 @@ class Trainer:
                 self.model_config, self.mesh,
                 batch_axis="data", time_axis="model",
                 apply_fn=self.family.apply)
+            # commit the state replicated over the mesh: when the time
+            # axis spans processes the shard_map's inputs must already be
+            # global arrays (a process-local committed state cannot be
+            # auto-resharded into a cross-process computation)
+            self.state = jax.device_put(
+                self.state, mesh_lib.replicated(self.mesh))
         else:
             train_step = state_lib.make_train_step(
                 self.model_config, self.wd_tree, apply_fn=self.family.apply)
@@ -335,8 +355,32 @@ class Trainer:
                 return _eval_inner(params, bn_state,
                                    restore_batch_fp32(batch))
 
-        self._train_step = jax.jit(train_step, donate_argnums=donate)
-        self._eval_step = jax.jit(eval_step)
+        # multi-process: pin the output STATE shardings (TP rules in TP
+        # mode, replicated otherwise).  Left to itself XLA may emit the
+        # updated params in some internally-chosen cross-process layout,
+        # which breaks host-side reads (check_shift_range) and resharding
+        # on the next step; single-process runs are left unpinned (no
+        # program change on the benched path).
+        out_shardings = None
+        if jax.process_count() > 1:
+            if (self.mesh.shape["model"] > 1 and not self.cfg.shard_time
+                    and not self.cfg.edge_partition):
+                state_out = mesh_lib.state_shardings(self.mesh, self.state)
+            else:
+                state_out = jax.tree_util.tree_map(
+                    lambda _: mesh_lib.replicated(self.mesh), self.state)
+            out_shardings = (state_out, mesh_lib.replicated(self.mesh))
+        self._train_step = jax.jit(train_step, donate_argnums=donate,
+                                   out_shardings=out_shardings)
+        if self._replicated_batch:
+            # pure TP/seqpar across processes: eval outputs (logits and
+            # loss sums over the replicated batch) must come back fully
+            # replicated so every process can np.asarray them without a
+            # host-side gather (each process scores the whole dataset)
+            self._eval_step = jax.jit(
+                eval_step, out_shardings=mesh_lib.replicated(self.mesh))
+        else:
+            self._eval_step = jax.jit(eval_step)
         # transfer batches directly into their sharded layouts (no
         # per-step reshard inside the jit): seqpar shards T over 'model';
         # ring edge-partition shards the NODE axis over 'model' — for the
@@ -359,10 +403,18 @@ class Trainer:
             self.state = jax.device_put(
                 self.state, mesh_lib.state_shardings(self.mesh, self.state))
 
+    def _put_batch(self, batch):
+        """Host batch -> sharded global device batch for this run's mode."""
+        return mesh_lib.shard_batch(
+            self.mesh, batch, specs=self._batch_specs,
+            replicated_batch=self._replicated_batch)
+
     def _load_data(self) -> None:
         cfg = self.cfg
-        host_id = jax.process_index()
-        num_hosts = jax.process_count()
+        # replicated-batch multi-process modes (pure TP/seqpar) feed every
+        # process the identical full batch: unsharded same-seed feeders
+        host_id = jax.process_index() if self._hosts_shard_data else 0
+        num_hosts = jax.process_count() if self._hosts_shard_data else 1
         self.feeders: Dict[str, Feeder] = {}
         self.iterators: Dict[str, BatchIterator] = {}
         extra = {"native": True} if cfg.native_loader else {}
@@ -516,7 +568,7 @@ class Trainer:
                 data, label, index, mask = next(it_epoch)
             except StopIteration:
                 return None
-            return mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
+            return self._put_batch({
                 "data": data.astype(self._transfer_dtype),
                 "label": label,
             })
@@ -606,12 +658,17 @@ class Trainer:
         # np.asarray would synchronize and serialize host batching against
         # device compute (logits are (B, num_class) scalars-scale — holding
         # an epoch of them costs nothing).
-        multihost = jax.process_count() > 1
+        # Host-side gathering only applies when hosts iterate DISJOINT
+        # dataset shards; in the replicated-batch modes (pure TP/seqpar)
+        # every process scores the full dataset and the eval step returns
+        # fully-replicated outputs (see _build_steps) — gathering would
+        # double-count every sample.
+        multihost = self._hosts_shard_data
         pending_out = []
         indices = []
         try:
             for data, label, index, mask in it.epoch(0):
-                batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
+                batch = self._put_batch({
                     "data": data.astype(self._transfer_dtype),
                     "label": label,
                     "mask": mask,
@@ -725,7 +782,7 @@ class Trainer:
         f_r = open(result_file, "w") if result_file else None
         try:
             for data, label, index, mask in it.epoch(0):
-                batch = mesh_lib.shard_batch(self.mesh, specs=self._batch_specs, batch={
+                batch = self._put_batch({
                     "data": data.astype(self._transfer_dtype),
                     "label": label,
                     "mask": mask,
@@ -788,6 +845,12 @@ class Trainer:
 
         for name, leaf in _flatten(self.state.params):
             if name.endswith("ypos"):
+                if not (getattr(leaf, "is_fully_addressable", True)
+                        or leaf.sharding.is_fully_replicated):
+                    # cross-process layouts: fetch the global value
+                    from jax.experimental import multihost_utils as mhu
+
+                    leaf = mhu.process_allgather(leaf, tiled=True)
                 assert_in_range(leaf, name,
                                 max_shift=self.lowering.max_shift)
 

@@ -2,7 +2,10 @@
 
 Runs the real Trainer as one process of a 2-process CPU jax.distributed
 job (gloo collectives, 4 virtual devices per process = 8-device global
-mesh) and prints a JSON result line the parent test asserts on.
+mesh) and prints a JSON result line the parent test asserts on.  The
+parallelism mode comes entirely from the config file (mesh_shape /
+shard_time), so the same driver executes DP, cross-process TP, and
+cross-process sequence parallelism.
 """
 
 import json
@@ -49,11 +52,22 @@ def main() -> None:
     with open(os.path.join(eval_dir, pkl[-1]), "rb") as f:
         eval_scores = len(pickle.load(f))
 
-    ypos = np.asarray(
-        tr.state.params["l1"]["tcn1"]["shift_in"]["ypos"]).tolist()
+    # param leaves may be sharded ACROSS processes (TP modes): fetch via
+    # allgather unless the local view suffices
+    from jax.experimental import multihost_utils as mhu
+
+    def fetch(leaf):
+        if leaf.is_fully_addressable or leaf.sharding.is_fully_replicated:
+            return np.asarray(leaf)
+        return np.asarray(mhu.process_allgather(leaf, tiled=True))
+
+    ypos = fetch(tr.state.params["l1"]["tcn1"]["shift_in"]["ypos"]).tolist()
     checksum = float(sum(
-        float(np.abs(np.asarray(leaf)).sum())
+        float(np.abs(fetch(leaf)).sum())
         for leaf in jax.tree_util.tree_leaves(tr.state.params)))
+    # sharding evidence for the parent's cross-process-TP assertion: the
+    # TP rules put Linear_weight's output channels on the 'model' axis
+    lw = tr.state.params["l1"]["gcn1"]["Linear_weight"]
     out = {
         "pid": pid,
         "proc_count": jax.process_count(),
@@ -68,6 +82,12 @@ def main() -> None:
         "save_dir": tr.save_dir,
         "ckpts": (sorted(os.listdir(tr.save_dir))
                   if os.path.isdir(tr.save_dir) else []),
+        "linear_weight_devices": len(lw.sharding.device_set),
+        "linear_weight_addressable_shards": len(
+            [s for s in lw.addressable_shards]),
+        "linear_weight_shard_rows": (
+            list(lw.addressable_shards[0].data.shape) if
+            lw.addressable_shards else None),
     }
     print("MHRESULT " + json.dumps(out), flush=True)
 

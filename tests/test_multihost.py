@@ -40,6 +40,7 @@ _N_TRAIN = 64
 _N_VAL = 61          # deliberately indivisible by hosts AND batch: the
                      # gathered eval must still score every sample once
 _BATCH_PER_HOST = 4
+_T_SEQPAR = 80       # 8 time shards x 10 local frames (>= max_shift + 1)
 _EPOCHS = 2
 _BASE_LR = 0.05
 _BLOCKS = [[3, 8, 1, False], [8, 16, 2, True]]
@@ -64,7 +65,8 @@ def _write_dataset(tmp_path, prefix="train", n=_N_TRAIN, t=16, v=25, m=1,
             str(tmp_path / f"{prefix}_label.pkl"))
 
 
-def _write_config(tmp_path, data_path, label_path, val_data, val_label):
+def _write_config(tmp_path, data_path, label_path, val_data, val_label,
+                  **overrides):
     import yaml
 
     cfg = {
@@ -85,20 +87,13 @@ def _write_config(tmp_path, data_path, label_path, val_data, val_label):
         "device_guard": False,
         "print_log": False,
     }
+    cfg.update(overrides)
     path = tmp_path / "mh.yaml"
     path.write_text(yaml.safe_dump(cfg))
     return str(path)
 
 
-@pytest.fixture(scope="module")
-def mh_run(tmp_path_factory):
-    tmp_path = tmp_path_factory.mktemp("mh")
-    data_path, label_path = _write_dataset(tmp_path)
-    val_data, val_label = _write_dataset(tmp_path, prefix="val",
-                                         n=_N_VAL, seed=9)
-    cfg_path = _write_config(tmp_path, data_path, label_path,
-                             val_data, val_label)
-
+def _launch_pair(tmp_path, cfg_path):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -137,6 +132,47 @@ def mh_run(tmp_path_factory):
         assert line, out[-4000:]
         results[pid] = json.loads(line[-1][len("MHRESULT "):])
     return tmp_path, cfg_path, results, logs
+
+
+@pytest.fixture(scope="module")
+def mh_run(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("mh")
+    data_path, label_path = _write_dataset(tmp_path)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label)
+    return _launch_pair(tmp_path, cfg_path)
+
+
+@pytest.fixture(scope="module")
+def mh_tp_run(tmp_path_factory):
+    """Pure tensor parallelism on a [1, 8] mesh: the 'model' axis spans
+    BOTH processes (TP param shards + their matmul collectives cross the
+    process boundary); batches are replicated (unsharded same-seed
+    feeders on every host)."""
+    tmp_path = tmp_path_factory.mktemp("mh_tp")
+    data_path, label_path = _write_dataset(tmp_path)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label, mesh_shape=[1, 8])
+    return _launch_pair(tmp_path, cfg_path)
+
+
+@pytest.fixture(scope="module")
+def mh_seqpar_run(tmp_path_factory):
+    """Sequence parallelism on a [1, 8] mesh: the time axis spans both
+    processes, so every halo-exchange ppermute in the temporal shifts
+    crosses the process boundary through gloo."""
+    tmp_path = tmp_path_factory.mktemp("mh_sp")
+    data_path, label_path = _write_dataset(tmp_path, t=_T_SEQPAR)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, t=_T_SEQPAR, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label, mesh_shape=[1, 8],
+                             shard_time=True)
+    return _launch_pair(tmp_path, cfg_path)
 
 
 @pytest.mark.slow
@@ -229,6 +265,124 @@ def test_trajectory_matches_single_process_on_same_batches(mh_run):
         state.params["l1"]["tcn1"]["shift_in"]["ypos"])
     np.testing.assert_allclose(
         np.asarray(results[0]["ypos"]), ypos, atol=1e-5)
+
+
+def _unsharded_control_losses(cfg_path, epochs=_EPOCHS):
+    """Per-epoch mean losses + final ypos from a PLAIN single-process jit
+    (no mesh) driven by the same full batches the replicated-batch
+    multi-process runs feed every host."""
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.optim import (build_weight_decay_tree,
+                                           step_decay_lr)
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state = state_lib.create_train_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    wd_tree = build_weight_decay_tree(state.params)
+    step_fn = jax.jit(state_lib.make_train_step(
+        model_config, wd_tree, apply_fn=family.apply))
+
+    feeder = Feeder(**cfg.train_feeder_args)
+    it = BatchIterator(feeder, cfg.batch_size, shuffle=True,
+                       drop_last=True, seed=cfg.seed, host_id=0,
+                       num_hosts=1)
+    epoch_losses = []
+    for epoch in range(epochs):
+        lr = jnp.asarray(step_decay_lr(epoch, cfg.base_lr, cfg.step, 0),
+                         jnp.float32)
+        losses = []
+        for data, label, _, _ in it.epoch(epoch):
+            state, metrics = step_fn(state, {
+                "data": jnp.asarray(data, jnp.float32),
+                "label": jnp.asarray(label)}, lr)
+            losses.append(float(metrics["loss"]))
+        epoch_losses.append(float(np.mean(losses)))
+    ypos = np.asarray(state.params["l1"]["tcn1"]["shift_in"]["ypos"])
+    return epoch_losses, ypos
+
+
+@pytest.mark.slow
+def test_tp_model_axis_spans_processes(mh_tp_run):
+    """Cross-process tensor parallelism executes: on the [1, 8] mesh the
+    TP param shards live across BOTH processes (4 addressable of 8), the
+    metrics agree bit-for-bit between processes, and every process
+    scores the full val set (replicated-batch mode)."""
+    _, _, results, _ = mh_tp_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == r1["proc_count"] == 2
+    assert r0["global_devices"] == 8 and r0["local_devices"] == 4
+    for r in (r0, r1):
+        # l1.gcn1.Linear_weight is (3, 8) sharded over all 8 devices on
+        # its output axis: 8-device span, 4 addressable shards of (3, 1)
+        # per process — the param genuinely crosses the boundary
+        assert r["linear_weight_devices"] == 8
+        assert r["linear_weight_addressable_shards"] == 4
+        assert r["linear_weight_shard_rows"] == [3, 1]
+        # unsharded same-seed feeders: both processes see the FULL set
+        assert set(r["shard"]) == set(range(_N_TRAIN))
+        assert r["eval_scores"] == _N_VAL
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    np.testing.assert_array_equal(r0["ypos"], r1["ypos"])
+    np.testing.assert_allclose(r0["checksum"], r1["checksum"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_tp_trajectory_matches_unsharded(mh_tp_run):
+    """The 2-process TP run computes the same training as a plain
+    single-process jit on the identical batches.  The partitioned
+    program's reduction order differs from the unsharded one, so the
+    constraint update's sign ties resample the ±0.01·lr dither path
+    after the first epoch (the PARITY.md finding: long-horizon bitwise
+    lockstep across reduction orders is ill-posed by construction) —
+    epoch 1 must match at fp roundoff, later epochs within the dither
+    envelope."""
+    _, cfg_path, results, _ = mh_tp_run
+    losses, ypos = _unsharded_control_losses(cfg_path)
+    got = np.asarray(results[0]["losses"])
+    np.testing.assert_allclose(got[0], losses[0], atol=1e-4)
+    np.testing.assert_allclose(got, losses, atol=2e-3)
+    # every position within a few dither quanta (0.01 * lr = 5e-4/step)
+    np.testing.assert_allclose(results[0]["ypos"], ypos, atol=0.02)
+
+
+@pytest.mark.slow
+def test_tp_checkpoints_coherent(mh_tp_run):
+    """Orbax writes ONE coherent checkpoint set per epoch even though the
+    saved params are sharded across both processes."""
+    _, _, results, _ = mh_tp_run
+    assert results[0]["save_dir"] == results[1]["save_dir"]
+    assert results[0]["ckpts"] == results[1]["ckpts"]
+    assert set(results[0]["ckpts"]) == {str(e) for e in range(_EPOCHS)}
+
+
+@pytest.mark.slow
+def test_seqpar_time_axis_spans_processes(mh_seqpar_run):
+    """Cross-process sequence parallelism executes: T=80 sharded 8 ways
+    over the [1, 8] mesh, so every temporal-shift halo ppermute crosses
+    the process boundary; metrics agree bit-for-bit between processes
+    and the trajectory equals the plain unsharded single-process run."""
+    _, cfg_path, results, _ = mh_seqpar_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == 2 and r0["global_devices"] == 8
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    np.testing.assert_array_equal(r0["ypos"], r1["ypos"])
+    for r in (r0, r1):
+        assert set(r["shard"]) == set(range(_N_TRAIN))
+        assert r["eval_scores"] == _N_VAL
+    # same epoch-1-exact / dither-envelope structure as the TP test
+    # (the halo program's reduction order differs from the dense one)
+    losses, ypos = _unsharded_control_losses(cfg_path)
+    got = np.asarray(r0["losses"])
+    np.testing.assert_allclose(got[0], losses[0], atol=1e-4)
+    np.testing.assert_allclose(got, losses, atol=2e-3)
+    np.testing.assert_allclose(r0["ypos"], ypos, atol=0.02)
 
 
 @pytest.mark.slow
