@@ -4,8 +4,10 @@ Single knob: a 2D mesh ('data', 'model').  Data parallelism shards the batch
 over 'data' (XLA inserts psum grad reduces over ICI); 'model' is available
 for tensor-style sharding of the pointwise matmul channels on larger
 variants.  Multi-host: jax.distributed.initialize() is called by the CLI
-when JAX reports multiple processes; each host feeds its own batch shard via
-the feeder's host sharding.
+when JAX reports multiple processes; when the 'data' axis crosses
+processes each host feeds its own feeder shard, and when it doesn't
+(pure TP/seqpar, mesh [1, N]) every host feeds the identical full batch
+— see shard_batch for the two assembly paths.
 """
 
 from __future__ import annotations

@@ -7,12 +7,13 @@ lockstep-to-the-first-dither-tie plus a 60-step envelope.  This module
 extends the claim to the quantity users care about: both implementations
 are trained TO PLATEAU (600 steps, 20 epochs with the reference
 two-stage LR decay, main.py:342-353) on a NON-separable synthetic task
-(weak overlapping class signal + 15% label noise, so the Bayes-optimal
+(weak overlapping class signal + 20% label noise, so the Bayes-optimal
 accuracy is well below 1.0 and "memorize the training set" cannot mask a
 numerics bug), and the final HELD-OUT eval accuracies — torch
 model.eval() running stats vs the jax training=False path — must agree
-within a stated band, fp32 and bf16.  Measured values are recorded in
-docs/PARITY.md.
+within a stated band, fp32 and bf16.  Measured r5 (scratch/conv_probe):
+torch 0.502, jax fp32 0.531, jax bf16 0.537 on the 512-sample eval set;
+plateau losses within 0.008.  Recorded in docs/PARITY.md.
 
 The torch side IS the reference loop: the oracle model/optimizer/shift
 autograd from test_trajectory_parity (reference model/shift_gcn.py:31-216,
@@ -39,28 +40,31 @@ from test_trajectory_parity import (
 )
 
 _N_TRAIN = 240
-_N_EVAL = 120
+_N_EVAL = 512
 _BATCH = 8
 _EPOCHS = 20
 _STEPS_PER_EPOCH = _N_TRAIN // _BATCH          # 30 -> 600 steps total
 _BASE_LR = 0.1
 _LR_STEPS = [12, 16]
 _WARMUP = 1
-_LABEL_NOISE = 0.15
+_LABEL_NOISE = 0.2
 
 
 def _make_dataset(n, seed):
     """Overlapping weak class clusters + label noise: NOT separable.
 
-    The signal scale (0.15) is half the trajectory tests' separable set,
-    and 15% of labels are resampled uniformly — so a plateau at 1.0
-    would itself be a bug, and the interesting statistic is where the
-    two implementations' plateaus land relative to each other."""
+    The class signal is learnable but 20% of labels are resampled
+    uniformly — the Bayes-optimal eval accuracy is ~0.84, so a plateau
+    at 1.0 would itself be a bug, and the interesting statistic is
+    where the two implementations' plateaus land relative to each
+    other (eval set is 512 samples: the binomial std of the accuracy
+    estimate is ~2%, so the asserted bands measure numerics, not
+    estimator noise)."""
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((n, 3, 12, 25, 2)).astype(np.float32)
     y = rng.integers(0, 5, n)
     for i in range(n):
-        x[i, y[i] % 3] += 0.15 * (y[i] + 1) / 5.0
+        x[i, y[i] % 3] += 0.25 * (y[i] + 1) / 5.0
     flip = rng.random(n) < _LABEL_NOISE
     y[flip] = rng.integers(0, 5, int(flip.sum()))
     return x, y.astype(np.int32)
@@ -153,17 +157,19 @@ def test_task_is_genuinely_nonseparable(plateau):
 @pytest.mark.slow
 def test_final_eval_accuracy_agrees_fp32(plateau):
     """The headline claim: after 600 steps to plateau, the held-out eval
-    accuracies agree within 0.05 (6 samples of 120; measured r5:
-    torch and jax within ~0.02 — band leaves room for dither-path
-    resampling, docs/PARITY.md)."""
+    accuracies agree within 0.06 (measured r5: torch 0.502 vs jax
+    0.531, |diff| 0.029 on the 512-sample set whose binomial std is
+    ~0.022 — the band is ~2x the measured gap, covering dither-path
+    resampling; docs/PARITY.md)."""
     *_, tacc, _, jacc = plateau
-    assert abs(tacc - jacc) <= 0.05, (tacc, jacc)
+    assert abs(tacc - jacc) <= 0.06, (tacc, jacc)
 
 
 @pytest.mark.slow
 def test_loss_plateaus_agree_fp32(plateau):
     """Same descent and the same plateau level: final-epoch mean losses
-    within 0.1 and both well below the first-epoch mean."""
+    within 0.1 (measured 0.008) and both well below the first-epoch
+    mean."""
     *_, tlosses, _, jlosses, _ = plateau
     t_first = tlosses[:_STEPS_PER_EPOCH].mean()
     t_last = tlosses[-_STEPS_PER_EPOCH:].mean()
@@ -176,8 +182,9 @@ def test_loss_plateaus_agree_fp32(plateau):
 @pytest.mark.slow
 def test_final_eval_accuracy_agrees_bf16(plateau):
     """The production bf16-activation config reaches the same plateau:
-    eval accuracy within 0.07 of the fp32 torch oracle (looser band for
-    the extra rounding-driven dither resampling)."""
+    eval accuracy within 0.07 of the fp32 torch oracle (measured r5:
+    0.537 vs 0.502, |diff| 0.035 — looser band for the extra
+    rounding-driven dither resampling)."""
     import dataclasses
 
     xtr, ytr, xev, yev, _, tacc, _, _ = plateau

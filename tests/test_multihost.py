@@ -161,6 +161,20 @@ def mh_tp_run(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def mh_dptp_run(tmp_path_factory):
+    """The realistic pod layout: DP across hosts x TP within them on a
+    [2, 4] mesh — host-sharded feeders compose with TP-sharded params
+    and the gathered eval."""
+    tmp_path = tmp_path_factory.mktemp("mh_dptp")
+    data_path, label_path = _write_dataset(tmp_path)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label, mesh_shape=[2, 4])
+    return _launch_pair(tmp_path, cfg_path)
+
+
+@pytest.fixture(scope="module")
 def mh_seqpar_run(tmp_path_factory):
     """Sequence parallelism on a [1, 8] mesh: the time axis spans both
     processes, so every halo-exchange ppermute in the temporal shifts
@@ -359,6 +373,72 @@ def test_tp_checkpoints_coherent(mh_tp_run):
     assert results[0]["save_dir"] == results[1]["save_dir"]
     assert results[0]["ckpts"] == results[1]["ckpts"]
     assert set(results[0]["ckpts"]) == {str(e) for e in range(_EPOCHS)}
+
+
+@pytest.mark.slow
+def test_dptp_composes_host_sharding_with_tp(mh_dptp_run):
+    """DP across hosts x TP within them ([2, 4] mesh): host feeder
+    shards stay disjoint+exhaustive, the TP param sharding spans the
+    model axis, the gathered eval scores every sample once, and the
+    trajectory equals the single-process composed-batch control."""
+    _, cfg_path, results, _ = mh_dptp_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == 2 and r0["global_devices"] == 8
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    # host shards disjoint + exhaustive (DP across processes)
+    s0, s1 = set(r0["shard"]), set(r1["shard"])
+    assert not (s0 & s1) and s0 | s1 == set(range(_N_TRAIN))
+    assert r0["eval_scores"] == _N_VAL
+    # TP really sharded: (3, 8) weight over the 4-wide model axis
+    for r in (r0, r1):
+        assert r["linear_weight_devices"] == 8
+        assert r["linear_weight_shard_rows"] == [3, 2]
+    # control: single-process 8-device [2,4] run on the same composed
+    # global batches (concat of the two host shards per step)
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.parallel import mesh as mesh_lib
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.optim import (build_weight_decay_tree,
+                                           step_decay_lr)
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state = state_lib.create_train_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    wd_tree = build_weight_decay_tree(state.params)
+    step_fn = jax.jit(state_lib.make_train_step(
+        model_config, wd_tree, apply_fn=family.apply))
+    mesh = mesh_lib.make_mesh([2, 4])
+    state = jax.device_put(state,
+                           mesh_lib.state_shardings(mesh, state))
+    feeder = Feeder(**cfg.train_feeder_args)
+    its = [BatchIterator(feeder, _BATCH_PER_HOST, shuffle=True,
+                         drop_last=True, seed=cfg.seed, host_id=h,
+                         num_hosts=2) for h in range(2)]
+    epoch_losses = []
+    for epoch in range(_EPOCHS):
+        lr = jnp.asarray(step_decay_lr(epoch, cfg.base_lr, cfg.step, 0),
+                         jnp.float32)
+        losses = []
+        for (d0, l0, _, _), (d1, l1, _, _) in zip(
+                its[0].epoch(epoch), its[1].epoch(epoch)):
+            batch = mesh_lib.shard_batch(mesh, {
+                "data": np.concatenate([d0, d1]).astype(np.float32),
+                "label": np.concatenate([l0, l1]),
+            })
+            state, metrics = step_fn(state, batch, lr)
+            losses.append(float(metrics["loss"]))
+        epoch_losses.append(float(np.mean(losses)))
+    # same epoch-1-exact / dither-envelope structure as the other modes
+    got = np.asarray(r0["losses"])
+    np.testing.assert_allclose(got[0], epoch_losses[0], atol=1e-4)
+    np.testing.assert_allclose(got, epoch_losses, atol=2e-3)
+    ypos = np.asarray(state.params["l1"]["tcn1"]["shift_in"]["ypos"])
+    np.testing.assert_allclose(r0["ypos"], ypos, atol=0.02)
 
 
 @pytest.mark.slow
