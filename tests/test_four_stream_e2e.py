@@ -12,6 +12,10 @@ import pytest
 from shift_gcn_tpu.data.modalities import derive_modalities
 from shift_gcn_tpu.graphs import MEDIAPIPE_POSE
 
+
+# long-pole module: deselect with -m "not slow" for the inner-loop tier
+pytestmark = pytest.mark.slow
+
 MODEL_ARGS = {
     "num_class": 2, "num_point": 33, "num_person": 1,
     "graph": "mediapipe_pose",

@@ -92,6 +92,7 @@ def test_bf16_activation_mode_trains_and_stays_close():
     assert abs(losses["f32"][1] - losses["act16"][1]) < 0.1
 
 
+@pytest.mark.slow
 def test_bf16_activation_mode_converges_like_fp32():
     """Convergence parity for the production bf16-activation default: both
     dtypes learn a separable synthetic task to high train accuracy.  (The

@@ -368,6 +368,7 @@ class TestTimeShardedTrainStep:
         with pytest.raises(ValueError, match="max_shift\\+1=13"):
             validate_time_sharding(wide, 48, 4)        # 12 < 12+1
 
+    @pytest.mark.slow
     def test_two_halo_radii_one_process(self):
         """The halo tap radius is a per-call static argument threaded
         from lowering.max_shift — NOT ambient process state: seqpar

@@ -178,6 +178,7 @@ def test_stride2_halves_time():
     assert out.shape == (1, 5, 3, 2)
 
 
+@pytest.mark.slow
 class TestBnShiftLinearFold:
     """bn_shift_linear == batch_norm -> temporal_shift -> pointwise_conv,
     including gradients and the constraint's boundary term."""

@@ -53,6 +53,9 @@ from shift_gcn_tpu.models.shift_gcn import (
 from shift_gcn_tpu.train import state as state_lib
 from shift_gcn_tpu.train.optim import build_weight_decay_tree, step_decay_lr
 
+# long-pole module: deselect with -m "not slow" for the inner-loop tier
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------------------
 # torch oracle: the reference CUDA shift op (fwd + constraint bwd)
 # ---------------------------------------------------------------------------
