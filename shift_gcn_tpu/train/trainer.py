@@ -472,7 +472,13 @@ class Trainer:
         # replicated over the mesh so a resume that goes straight to
         # eval (resumed-past-the-end rerun) composes with mesh-sharded
         # batches (TP/edge modes re-commit their own shardings in
-        # _build_steps afterwards)
+        # _build_steps afterwards).  Multi-process: replication to a
+        # process-spanning mesh must start from HOST values (device_put
+        # from a committed local device array would need a cross-host
+        # device transfer, unsupported on this backend; every process
+        # restored the identical full state from the shared checkpoint)
+        if jax.process_count() > 1:
+            self.state = jax.tree_util.tree_map(np.asarray, self.state)
         self.state = jax.device_put(
             self.state, mesh_lib.replicated(self.mesh))
         self.start_epoch = int(payload["meta"]["epoch"]) + 1

@@ -35,6 +35,17 @@ def main() -> None:
     cfg.work_dir = os.path.join(cfg.work_dir, f"p{pid}")
     tr = Trainer(cfg)
 
+    if os.environ.get("SGT_MH_START"):
+        # full Trainer.start() — exercises the collective
+        # resumed-past-the-end final-eval decision (a kill during the
+        # final eval can leave the processes' work dirs disagreeing on
+        # best_acc.pkl; a non-collective check deadlocks the rerun)
+        best = tr.start()
+        print("MHRESULT " + json.dumps({
+            "pid": pid, "best_acc": float(best),
+            "start_epoch": tr.start_epoch}), flush=True)
+        return
+
     shard = tr.iterators["train"]._epoch_indices(0).tolist()
     losses = []
     for e in range(cfg.num_epoch):

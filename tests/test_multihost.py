@@ -93,7 +93,7 @@ def _write_config(tmp_path, data_path, label_path, val_data, val_label,
     return str(path)
 
 
-def _launch_pair(tmp_path, cfg_path):
+def _launch_pair(tmp_path, cfg_path, extra_env=None):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -102,6 +102,7 @@ def _launch_pair(tmp_path, cfg_path):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
+        env.update(extra_env or {})
         env.pop("JAX_PLATFORMS", None)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env["SGT_MH_PID"] = str(pid)
@@ -463,6 +464,44 @@ def test_seqpar_time_axis_spans_processes(mh_seqpar_run):
     np.testing.assert_allclose(got[0], losses[0], atol=1e-4)
     np.testing.assert_allclose(got, losses, atol=2e-3)
     np.testing.assert_allclose(r0["ypos"], ypos, atol=0.02)
+
+
+@pytest.mark.slow
+def test_resumed_past_end_final_eval_is_collective(mh_run):
+    """Advisor r4: after a kill during the final eval, the per-process
+    work dirs can DISAGREE on best_acc.pkl; the rerun's decision to
+    re-enter the collective final eval must be made by process 0 and
+    broadcast, or the process that enters evaluate() deadlocks in its
+    cross-process gathers.  Simulate the worst case (process 0 lost its
+    pickle, process 1 kept it) and rerun Trainer.start() with
+    resume: auto — both processes must agree to evaluate, terminate,
+    and regenerate the pickle."""
+    import yaml
+
+    tmp_path, cfg_path, _, _ = mh_run
+    p0_best = (tmp_path / "work" / "p0" / "mh" / "eval_results"
+               / "best_acc.pkl")
+    # the driver's work_dir layout: work/p{pid}/<Experiment_name>
+    assert p0_best.exists(), sorted(
+        (tmp_path / "work").rglob("*.pkl"))
+    p0_best.unlink()
+    p1_best = (tmp_path / "work" / "p1" / "mh" / "eval_results"
+               / "best_acc.pkl")
+    assert p1_best.exists()
+
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["resume"] = "auto"
+    rerun_path = tmp_path / "mh_resume.yaml"
+    rerun_path.write_text(yaml.safe_dump(cfg))
+    _, _, results, _ = _launch_pair(tmp_path, str(rerun_path),
+                                    extra_env={"SGT_MH_START": "1"})
+    # both children terminated (no deadlock), resumed past the end, and
+    # the final eval ran collectively
+    for r in results.values():
+        assert r["start_epoch"] == _EPOCHS
+        assert r["best_acc"] > 0
+    assert p0_best.exists()
 
 
 @pytest.mark.slow
