@@ -138,15 +138,13 @@ class Trainer:
         self._hosts_shard_data = nproc > 1 and data_axis > 1
         self._replicated_batch = nproc > 1 and data_axis == 1
         if nproc > 1:
-            # fourstream/edge-partition state+edge layouts are still
+            # fourstream's stacked-stream state layout is still
             # single-process (docs/DESIGN.md, composition boundaries)
-            unsupported = [k for k, v in (
-                ("fourstream", cfg.fourstream),
-                ("edge_partition", cfg.edge_partition)) if v]
-            if unsupported:
+            if cfg.fourstream:
                 raise ValueError(
-                    f"multi-process training supports DP / TP / "
-                    f"shard_time only; unsupported here: {unsupported}")
+                    "multi-process training supports DP / TP / "
+                    "shard_time / edge_partition; fourstream is "
+                    "single-process only")
             if data_axis > 1 and data_axis % nproc != 0:
                 raise ValueError(
                     f"mesh data axis ({data_axis}) must be 1 (replicated "

@@ -72,13 +72,23 @@ def main() -> None:
             return np.asarray(leaf)
         return np.asarray(mhu.process_allgather(leaf, tiled=True))
 
-    ypos = fetch(tr.state.params["l1"]["tcn1"]["shift_in"]["ypos"]).tolist()
+    def maybe(path):
+        node = tr.state.params
+        try:
+            for key in path:
+                node = node[key]
+            return node
+        except (KeyError, TypeError):
+            return None   # family without this subtree (e.g. stgcn)
+
+    ypos_leaf = maybe(("l1", "tcn1", "shift_in", "ypos"))
+    ypos = fetch(ypos_leaf).tolist() if ypos_leaf is not None else None
     checksum = float(sum(
         float(np.abs(fetch(leaf)).sum())
         for leaf in jax.tree_util.tree_leaves(tr.state.params)))
     # sharding evidence for the parent's cross-process-TP assertion: the
     # TP rules put Linear_weight's output channels on the 'model' axis
-    lw = tr.state.params["l1"]["gcn1"]["Linear_weight"]
+    lw = maybe(("l1", "gcn1", "Linear_weight"))
     out = {
         "pid": pid,
         "proc_count": jax.process_count(),
@@ -93,12 +103,14 @@ def main() -> None:
         "save_dir": tr.save_dir,
         "ckpts": (sorted(os.listdir(tr.save_dir))
                   if os.path.isdir(tr.save_dir) else []),
-        "linear_weight_devices": len(lw.sharding.device_set),
-        "linear_weight_addressable_shards": len(
-            [s for s in lw.addressable_shards]),
+        "linear_weight_devices": (len(lw.sharding.device_set)
+                                  if lw is not None else None),
+        "linear_weight_addressable_shards": (
+            len([s for s in lw.addressable_shards])
+            if lw is not None else None),
         "linear_weight_shard_rows": (
-            list(lw.addressable_shards[0].data.shape) if
-            lw.addressable_shards else None),
+            list(lw.addressable_shards[0].data.shape)
+            if lw is not None and lw.addressable_shards else None),
     }
     print("MHRESULT " + json.dumps(out), flush=True)
 

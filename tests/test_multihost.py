@@ -175,6 +175,31 @@ def mh_dptp_run(tmp_path_factory):
     return _launch_pair(tmp_path, cfg_path)
 
 
+def _write_stgcn_dataset(tmp_path, prefix="train", n=_N_TRAIN, t=16,
+                         seed=3):
+    # V=33 mediapipe shape for the stgcn family
+    return _write_dataset(tmp_path, prefix=prefix, n=n, t=t, v=33,
+                          seed=seed)
+
+
+@pytest.fixture(scope="module")
+def mh_edges_run(tmp_path_factory):
+    """Edge-partitioned ST-GCN training (the north-star mode) across
+    2 processes: COO edge shards on the 'model' axis, batch crossing
+    the process boundary on 'data' ([2, 4] mesh)."""
+    tmp_path = tmp_path_factory.mktemp("mh_edges")
+    data_path, label_path = _write_stgcn_dataset(tmp_path)
+    val_data, val_label = _write_stgcn_dataset(tmp_path, prefix="val",
+                                               n=_N_VAL, seed=9)
+    cfg_path = _write_config(
+        tmp_path, data_path, label_path, val_data, val_label,
+        model="stgcn",
+        model_args={"num_class": 2, "num_point": 33, "num_person": 1,
+                    "graph": "mediapipe_pose"},
+        mesh_shape=[2, 4], edge_partition=True, edge_strategy="gather")
+    return _launch_pair(tmp_path, cfg_path)
+
+
 @pytest.fixture(scope="module")
 def mh_seqpar_run(tmp_path_factory):
     """Sequence parallelism on a [1, 8] mesh: the time axis spans both
@@ -440,6 +465,74 @@ def test_dptp_composes_host_sharding_with_tp(mh_dptp_run):
     np.testing.assert_allclose(got, epoch_losses, atol=2e-3)
     ypos = np.asarray(state.params["l1"]["tcn1"]["shift_in"]["ypos"])
     np.testing.assert_allclose(r0["ypos"], ypos, atol=0.02)
+
+
+@pytest.mark.slow
+def test_edge_partition_crosses_processes(mh_edges_run):
+    """The north-star edge-partitioned mode executes across processes:
+    COO edge shards on the within-process 'model' axis, batch crossing
+    the boundary on 'data'; metrics bit-equal between processes, host
+    shards disjoint+exhaustive, gathered eval exact, and the trajectory
+    matches a single-process run of the SAME edge-sharded [2,4] program
+    on the composed global batches."""
+    _, cfg_path, results, _ = mh_edges_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == 2 and r0["global_devices"] == 8
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    s0, s1 = set(r0["shard"]), set(r1["shard"])
+    assert not (s0 & s1) and s0 | s1 == set(range(_N_TRAIN))
+    assert r0["eval_scores"] == _N_VAL
+
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.parallel import edge_partition as ep
+    from shift_gcn_tpu.parallel import mesh as mesh_lib
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.optim import (build_weight_decay_tree,
+                                           step_decay_lr)
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state = state_lib.create_train_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    wd_tree = build_weight_decay_tree(state.params)
+    mesh = mesh_lib.make_mesh([2, 4])
+    sharded_apply = ep.make_edge_sharded_apply(
+        model_config, mesh, batch_axis="data", edge_axis="model",
+        apply_fn=family.apply)
+    step_fn = jax.jit(ep.make_edge_sharded_train_step(
+        model_config, wd_tree, mesh, batch_axis="data",
+        edge_axis="model", sharded_apply=sharded_apply))
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    feeder = Feeder(**cfg.train_feeder_args)
+    its = [BatchIterator(feeder, _BATCH_PER_HOST, shuffle=True,
+                         drop_last=True, seed=cfg.seed, host_id=h,
+                         num_hosts=2) for h in range(2)]
+    epoch_losses = []
+    for epoch in range(_EPOCHS):
+        lr = jnp.asarray(step_decay_lr(epoch, cfg.base_lr, cfg.step, 0),
+                         jnp.float32)
+        losses = []
+        for (d0, l0, _, _), (d1, l1, _, _) in zip(
+                its[0].epoch(epoch), its[1].epoch(epoch)):
+            batch = mesh_lib.shard_batch(mesh, {
+                "data": np.concatenate([d0, d1]).astype(np.float32),
+                "label": np.concatenate([l0, l1]),
+            })
+            state, metrics = step_fn(state, batch, lr)
+            losses.append(float(metrics["loss"]))
+        epoch_losses.append(float(np.mean(losses)))
+    # no shift-constraint dither in the stgcn family: the trajectories
+    # should track at fp tolerance
+    np.testing.assert_allclose(r0["losses"], epoch_losses,
+                               atol=1e-4, rtol=1e-4)
+    checksum = float(sum(
+        float(np.abs(np.asarray(leaf)).sum())
+        for leaf in jax.tree_util.tree_leaves(state.params)))
+    np.testing.assert_allclose(r0["checksum"], checksum, rtol=1e-5)
 
 
 @pytest.mark.slow
