@@ -258,8 +258,15 @@ def make_ring_sharded_apply(
             f"num_nodes={config.num_nodes} must divide evenly over the "
             f"{p_shards}-way edge axis (next multiple: {v_pad})")
     edge_sharding = NamedSharding(mesh, P(edge_axis))
-    steps_dev = jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, edge_sharding), steps)
+    if jax.process_count() > 1:
+        # jit cannot close over device arrays spanning non-addressable
+        # devices (the node axis may cross processes): keep the bucket
+        # tables as host constants — they are tiny and get baked into
+        # the compiled program once, already edge-sharded by in_specs
+        steps_dev = steps
+    else:
+        steps_dev = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, edge_sharding), steps)
     step_specs = jax.tree_util.tree_map(lambda _: P(edge_axis), steps)
     data_spec = P(batch_axis, None, None, edge_axis, None)
 

@@ -200,6 +200,47 @@ def mh_edges_run(tmp_path_factory):
     return _launch_pair(tmp_path, cfg_path)
 
 
+_RING_V, _RING_C = 64, 8
+
+
+def _write_ring_dataset(tmp_path, prefix="train", n=_N_TRAIN, seed=3):
+    """(N, C, 1, V, 1) node-feature frames for the ring_gnn family:
+    class 1 lifts channel 0 on a fixed node subset."""
+    rng = np.random.default_rng(seed)
+    lift = np.random.default_rng(99).choice(_RING_V, _RING_V // 4,
+                                            replace=False)
+    labels = rng.integers(0, 2, n)
+    data = rng.standard_normal(
+        (n, _RING_C, 1, _RING_V, 1)).astype(np.float32) * 0.3
+    for i in range(n):
+        if labels[i] == 1:
+            data[i, 0, 0, lift, 0] += 0.8
+    names = [f"{prefix}{i}.node" for i in range(n)]
+    np.save(tmp_path / f"{prefix}_data.npy", data)
+    with open(tmp_path / f"{prefix}_label.pkl", "wb") as f:
+        pickle.dump((names, labels.tolist()), f)
+    return (str(tmp_path / f"{prefix}_data.npy"),
+            str(tmp_path / f"{prefix}_label.pkl"))
+
+
+@pytest.fixture(scope="module")
+def mh_ring_run(tmp_path_factory):
+    """Ring-strategy node-sharded training across 2 processes on a
+    [1, 8] mesh: the node axis spans both processes, so every ring
+    `ppermute` that rotates the node blocks crosses the boundary."""
+    tmp_path = tmp_path_factory.mktemp("mh_ring")
+    data_path, label_path = _write_ring_dataset(tmp_path)
+    val_data, val_label = _write_ring_dataset(tmp_path, prefix="val",
+                                              n=_N_VAL, seed=9)
+    cfg_path = _write_config(
+        tmp_path, data_path, label_path, val_data, val_label,
+        model="shift_gcn_tpu.models.ring_gnn",
+        model_args={"num_class": 2, "num_nodes": _RING_V,
+                    "in_channels": _RING_C, "hidden": [16]},
+        mesh_shape=[1, 8], edge_partition=True, edge_strategy="ring")
+    return _launch_pair(tmp_path, cfg_path)
+
+
 @pytest.fixture(scope="module")
 def mh_seqpar_run(tmp_path_factory):
     """Sequence parallelism on a [1, 8] mesh: the time axis spans both
@@ -527,6 +568,74 @@ def test_edge_partition_crosses_processes(mh_edges_run):
         epoch_losses.append(float(np.mean(losses)))
     # no shift-constraint dither in the stgcn family: the trajectories
     # should track at fp tolerance
+    np.testing.assert_allclose(r0["losses"], epoch_losses,
+                               atol=1e-4, rtol=1e-4)
+    checksum = float(sum(
+        float(np.abs(np.asarray(leaf)).sum())
+        for leaf in jax.tree_util.tree_leaves(state.params)))
+    np.testing.assert_allclose(r0["checksum"], checksum, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ring_node_shards_span_processes(mh_ring_run):
+    """The large-graph story executed at its target deployment shape:
+    node features sharded over a [1, 8] mesh whose axis spans both
+    processes — every ring ppermute crosses the boundary through gloo.
+    Metrics bit-equal between processes; trajectory equals the same
+    ring-sharded program run single-process on the identical full
+    batches."""
+    _, cfg_path, results, _ = mh_ring_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == 2 and r0["global_devices"] == 8
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    for r in (r0, r1):
+        assert set(r["shard"]) == set(range(_N_TRAIN))  # replicated mode
+        assert r["eval_scores"] == _N_VAL
+
+    # control: the SAME ring-sharded [1,8] program, single process
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.parallel import edge_partition as ep
+    from shift_gcn_tpu.parallel import mesh as mesh_lib
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.optim import (build_weight_decay_tree,
+                                           step_decay_lr)
+    from jax.sharding import PartitionSpec as P
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state = state_lib.create_train_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    wd_tree = build_weight_decay_tree(state.params)
+    mesh = mesh_lib.make_mesh([1, 8])
+    sharded_apply = ep.make_ring_sharded_apply(
+        model_config, mesh, batch_axis="data", edge_axis="model",
+        apply_fn=family.apply)
+    step_fn = jax.jit(ep.make_edge_sharded_train_step(
+        model_config, wd_tree, mesh, batch_axis="data",
+        edge_axis="model", sharded_apply=sharded_apply))
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    specs = {"data": P("data", None, None, "model", None)}
+    feeder = Feeder(**cfg.train_feeder_args)
+    it = BatchIterator(feeder, cfg.batch_size, shuffle=True,
+                       drop_last=True, seed=cfg.seed, host_id=0,
+                       num_hosts=1)
+    epoch_losses = []
+    for epoch in range(_EPOCHS):
+        lr = jnp.asarray(step_decay_lr(epoch, cfg.base_lr, cfg.step, 0),
+                         jnp.float32)
+        losses = []
+        for data, label, _, _ in it.epoch(epoch):
+            batch = mesh_lib.shard_batch(mesh, {
+                "data": data.astype(np.float32),
+                "label": label,
+            }, specs=specs)
+            state, metrics = step_fn(state, batch, lr)
+            losses.append(float(metrics["loss"]))
+        epoch_losses.append(float(np.mean(losses)))
     np.testing.assert_allclose(r0["losses"], epoch_losses,
                                atol=1e-4, rtol=1e-4)
     checksum = float(sum(
