@@ -138,13 +138,6 @@ class Trainer:
         self._hosts_shard_data = nproc > 1 and data_axis > 1
         self._replicated_batch = nproc > 1 and data_axis == 1
         if nproc > 1:
-            # fourstream's stacked-stream state layout is still
-            # single-process (docs/DESIGN.md, composition boundaries)
-            if cfg.fourstream:
-                raise ValueError(
-                    "multi-process training supports DP / TP / "
-                    "shard_time / edge_partition; fourstream is "
-                    "single-process only")
             if data_axis > 1 and data_axis % nproc != 0:
                 raise ValueError(
                     f"mesh data axis ({data_axis}) must be 1 (replicated "
@@ -780,8 +773,14 @@ class Trainer:
         feeder = self.feeders["test"]
         scores4 = [[] for _ in fs.STREAMS]
         ens_scores = []
+        indices = []
         loss_sum = np.zeros(len(fs.STREAMS))
         n_sum = 0.0
+        # multi-process: per-host feeder shards interleave the dataset;
+        # fetch the GLOBAL logits (they span non-addressable devices) and
+        # the composed global label/index/mask, then restore dataset
+        # order at the end — same contract as the plain evaluate()
+        multihost = self._hosts_shard_data
         f_w = open(wrong_file, "w") if wrong_file else None
         f_r = open(result_file, "w") if result_file else None
         try:
@@ -793,12 +792,24 @@ class Trainer:
                 })
                 logits4, ensemble, lsum4, ns = self._eval_step(
                     self.state.params, self.state.bn_state, batch)
+                if multihost:
+                    from jax.experimental import multihost_utils as mhu
+
+                    logits4, ensemble = (
+                        np.asarray(a) for a in mhu.process_allgather(
+                            (logits4, ensemble), tiled=True))
+                    label, index, mask = (
+                        np.asarray(a) for a in mhu.process_allgather(
+                            (np.asarray(label), np.asarray(index),
+                             np.asarray(mask)), tiled=True))
+                else:
+                    logits4 = np.asarray(logits4)
+                    ensemble = np.asarray(ensemble)
                 valid = mask > 0
-                logits4 = np.asarray(logits4)
-                ensemble = np.asarray(ensemble)
                 for i in range(len(fs.STREAMS)):
                     scores4[i].append(logits4[i][valid])
                 ens_scores.append(ensemble[valid])
+                indices.append(np.asarray(index)[valid])
                 loss_sum += np.asarray(lsum4)
                 n_sum += float(np.asarray(ns)[0])
                 if f_w or f_r:
@@ -815,6 +826,10 @@ class Trainer:
                 f_r.close()
         ens = np.concatenate(ens_scores)
         stream_scores = [np.concatenate(s) for s in scores4]
+        if multihost:
+            order = np.argsort(np.concatenate(indices), kind="stable")
+            ens = ens[order]
+            stream_scores = [s[order] for s in stream_scores]
         accuracy = feeder.top_k(ens, 1)
         eval_dir = os.path.join(self.work_dir, "eval_results")
         for stream, s in zip(fs.STREAMS, stream_scores):

@@ -242,6 +242,24 @@ def mh_ring_run(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def mh_fourstream_run(tmp_path_factory):
+    """Concurrent four-stream training across 2 processes (DP over the
+    default [8,1] mesh): stacked-stream state replicated, per-host
+    feeder shards composed into global batches, and the four-stream
+    gathered eval restoring dataset order."""
+    tmp_path = tmp_path_factory.mktemp("mh_fs")
+    data_path, label_path = _write_dataset(tmp_path, v=33)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, v=33, seed=9)
+    cfg_path = _write_config(
+        tmp_path, data_path, label_path, val_data, val_label,
+        model_args={"num_class": 2, "num_point": 33, "num_person": 1,
+                    "graph": "mediapipe_pose", "blocks": _BLOCKS},
+        fourstream=True)
+    return _launch_pair(tmp_path, cfg_path)
+
+
+@pytest.fixture(scope="module")
 def mh_seqpar_run(tmp_path_factory):
     """Sequence parallelism on a [1, 8] mesh: the time axis spans both
     processes, so every halo-exchange ppermute in the temporal shifts
@@ -574,6 +592,67 @@ def test_edge_partition_crosses_processes(mh_edges_run):
         float(np.abs(np.asarray(leaf)).sum())
         for leaf in jax.tree_util.tree_leaves(state.params)))
     np.testing.assert_allclose(r0["checksum"], checksum, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fourstream_crosses_processes(mh_fourstream_run):
+    """The last formerly-guarded mode: concurrent four-stream training
+    in 2 processes — metrics bit-equal across processes, gathered
+    four-stream eval scores every sample once, and the trajectory
+    equals the single-process fourstream step on the composed global
+    batches (epoch-1 exact, then the constraint dither envelope)."""
+    _, cfg_path, results, _ = mh_fourstream_run
+    r0, r1 = results[0], results[1]
+    assert r0["proc_count"] == 2 and r0["global_devices"] == 8
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["acc"] == r1["acc"]
+    s0, s1 = set(r0["shard"]), set(r1["shard"])
+    assert not (s0 & s1) and s0 | s1 == set(range(_N_TRAIN))
+    assert r0["eval_scores"] == _N_VAL
+
+    from shift_gcn_tpu.data.feeder import BatchIterator, Feeder
+    from shift_gcn_tpu.graphs import get_graph
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.parallel import mesh as mesh_lib
+    from shift_gcn_tpu.train import fourstream as fs
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.train.optim import (build_weight_decay_tree,
+                                           step_decay_lr)
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state4 = fs.create_fourstream_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    wd_tree = build_weight_decay_tree(
+        jax.tree_util.tree_map(lambda x: x[0], state4.params))
+    graph = get_graph(model_config.graph)
+    step_fn = jax.jit(fs.make_fourstream_train_step(
+        model_config, wd_tree, graph, apply_fn=family.apply))
+    mesh = mesh_lib.make_mesh(None)
+    feeder = Feeder(**cfg.train_feeder_args)
+    its = [BatchIterator(feeder, _BATCH_PER_HOST, shuffle=True,
+                         drop_last=True, seed=cfg.seed, host_id=h,
+                         num_hosts=2) for h in range(2)]
+    epoch_losses = []
+    for epoch in range(_EPOCHS):
+        lr = jnp.asarray(step_decay_lr(epoch, cfg.base_lr, cfg.step, 0),
+                         jnp.float32)
+        losses = []
+        for (d0, l0, _, _), (d1, l1, _, _) in zip(
+                its[0].epoch(epoch), its[1].epoch(epoch)):
+            batch = mesh_lib.shard_batch(mesh, {
+                "data": np.concatenate([d0, d1]).astype(np.float32),
+                "label": np.concatenate([l0, l1]),
+            })
+            state4, metrics = step_fn(state4, batch, lr)
+            losses.append(float(np.mean(np.asarray(metrics["loss"]))))
+        epoch_losses.append(float(np.mean(losses)))
+    got = np.asarray(r0["losses"])
+    np.testing.assert_allclose(got[0], epoch_losses[0], atol=1e-4)
+    np.testing.assert_allclose(got, epoch_losses, atol=2e-3)
+    ypos = np.asarray(state4.params["l1"]["tcn1"]["shift_in"]["ypos"])
+    np.testing.assert_allclose(np.asarray(r0["ypos"]), ypos, atol=0.02)
 
 
 @pytest.mark.slow
