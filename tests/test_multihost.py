@@ -461,6 +461,44 @@ def test_tp_checkpoints_coherent(mh_tp_run):
 
 
 @pytest.mark.slow
+def test_tp_checkpoint_restores_across_topologies(mh_tp_run):
+    """A checkpoint written by the 2-process TP run (params sharded
+    across both processes at save time) restores into a plain
+    SINGLE-process template with the exact final parameters — sharded
+    saves are topology-portable, the production resume/serve property."""
+    _, cfg_path, results, _ = mh_tp_run
+    from shift_gcn_tpu.models.registry import get_model
+    from shift_gcn_tpu.train import state as state_lib
+    from shift_gcn_tpu.train.config import load_config
+    from shift_gcn_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = load_config(["--config", cfg_path])
+    family = get_model(cfg.model)
+    model_config = family.build_config(cfg.model_args)
+    state = state_lib.create_train_state(
+        jax.random.key(cfg.seed), model_config, init_fn=family.init)
+    latest = ckpt_lib.latest_checkpoint(results[0]["save_dir"])
+    assert latest is not None
+    payload = ckpt_lib.restore_checkpoint(latest, {
+        "params": state.params,
+        "bn_state": state.bn_state,
+        "opt_state": state.opt_state,
+        "global_step": state.global_step,
+        "meta": {"epoch": 0, "best_acc": 0.0},
+    })
+    checksum = float(sum(
+        float(np.abs(np.asarray(leaf)).sum())
+        for leaf in jax.tree_util.tree_leaves(payload["params"])))
+    np.testing.assert_allclose(checksum, results[0]["checksum"],
+                               rtol=1e-6)
+    ypos = np.asarray(
+        payload["params"]["l1"]["tcn1"]["shift_in"]["ypos"])
+    np.testing.assert_allclose(np.asarray(results[0]["ypos"]), ypos,
+                               atol=1e-7)
+    assert int(payload["meta"]["epoch"]) == _EPOCHS - 1
+
+
+@pytest.mark.slow
 def test_dptp_composes_host_sharding_with_tp(mh_dptp_run):
     """DP across hosts x TP within them ([2, 4] mesh): host feeder
     shards stay disjoint+exhaustive, the TP param sharding spans the
