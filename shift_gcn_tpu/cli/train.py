@@ -12,6 +12,40 @@ import sys
 import jax
 
 
+def should_init_distributed(env=None) -> bool:
+    """Decide whether to bring up jax.distributed before training.
+
+    `jax.distributed.initialize()` auto-detects its arguments on TPU
+    pods, Slurm, and Open MPI — but something still has to CALL it, and
+    none of those launchers set JAX_COORDINATOR_ADDRESS (the only
+    trigger early revisions checked, which would have left a real pod
+    training as N disconnected hosts).  Detection, overridable with
+    SGT_DISTRIBUTED=1/0:
+
+    - JAX_COORDINATOR_ADDRESS set -> explicit manual launch (the
+      multi-host CPU harness, bare fleets),
+    - SLURM_NTASKS > 1 or OMPI_COMM_WORLD_SIZE > 1 -> scheduler launch,
+    - TPU_WORKER_HOSTNAMES listing >1 workers -> multi-worker TPU pod
+      (the TPU runtime exports the worker roster per host).
+    """
+    env = os.environ if env is None else env
+    force = env.get("SGT_DISTRIBUTED")
+    if force is not None:
+        return force.strip().lower() not in ("0", "false", "no", "")
+    if env.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(env.get(var, "") or 0) > 1:
+                return True
+        except ValueError:
+            pass
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    return False
+
+
 def main(argv=None) -> None:
     from shift_gcn_tpu.train.config import load_config
     from shift_gcn_tpu.train.trainer import Trainer
@@ -23,9 +57,10 @@ def main(argv=None) -> None:
     if os.environ.get("SGT_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SGT_PLATFORM"])
 
-    # Multi-host TPU pods: initialize the distributed runtime when launched
-    # under a multi-process coordinator.
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    # Multi-host: initialize the distributed runtime whenever a
+    # multi-process launch environment is detected (see
+    # should_init_distributed; SGT_DISTRIBUTED=1/0 overrides).
+    if should_init_distributed():
         jax.distributed.initialize()
 
     cfg = load_config(argv)
