@@ -59,9 +59,19 @@ def main(argv=None) -> None:
 
     # Multi-host: initialize the distributed runtime whenever a
     # multi-process launch environment is detected (see
-    # should_init_distributed; SGT_DISTRIBUTED=1/0 overrides).
+    # should_init_distributed; SGT_DISTRIBUTED=1/0 overrides).  TPU
+    # pods / Slurm / Open MPI auto-detect all arguments; bare manual
+    # launches (JAX_COORDINATOR_ADDRESS) have no detector for the
+    # process count/rank, so those come from SGT_NUM_PROCESSES /
+    # SGT_PROCESS_ID.
     if should_init_distributed():
-        jax.distributed.initialize()
+        kwargs = {}
+        if os.environ.get("SGT_NUM_PROCESSES"):
+            kwargs = {
+                "num_processes": int(os.environ["SGT_NUM_PROCESSES"]),
+                "process_id": int(os.environ["SGT_PROCESS_ID"]),
+            }
+        jax.distributed.initialize(**kwargs)
 
     cfg = load_config(argv)
     trainer = Trainer(cfg)

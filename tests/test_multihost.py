@@ -824,6 +824,60 @@ def test_resumed_past_end_final_eval_is_collective(mh_run):
 
 
 @pytest.mark.slow
+def test_cli_manual_two_host_launch(tmp_path):
+    """The documented manual multi-host launch works end to end through
+    the REAL CLI: the same `python -m shift_gcn_tpu.cli.train` command
+    on two "hosts" (JAX_COORDINATOR_ADDRESS + SGT_NUM_PROCESSES /
+    SGT_PROCESS_ID, per-host --work-dir), full Trainer.start() with the
+    2-process DP mesh, shared checkpoints, gathered eval."""
+    data_path, label_path = _write_dataset(tmp_path)
+    val_data, val_label = _write_dataset(tmp_path, prefix="val",
+                                         n=_N_VAL, seed=9)
+    cfg_path = _write_config(tmp_path, data_path, label_path,
+                             val_data, val_label)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["SGT_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["SGT_NUM_PROCESSES"] = "2"
+        env["SGT_PROCESS_ID"] = str(pid)
+        parts = [ROOT]
+        if os.path.isdir("/root/.axon_site"):
+            parts.append("/root/.axon_site")
+        if env.get("PYTHONPATH"):
+            parts.append(env["PYTHONPATH"])
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "shift_gcn_tpu.cli.train",
+             "--config", cfg_path,
+             "--work-dir", str(tmp_path / "work" / f"p{pid}")],
+            env=env, cwd=ROOT, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = {}
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        outs[pid] = out
+        assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
+        assert "best accuracy:" in out, out[-2000:]
+    # the two hosts printed the identical (global) best accuracy
+    best = [ln for ln in outs[0].splitlines() if "best accuracy:" in ln]
+    best1 = [ln for ln in outs[1].splitlines() if "best accuracy:" in ln]
+    assert best[-1].split("best accuracy:")[1] == \
+        best1[-1].split("best accuracy:")[1]
+    # one shared coherent checkpoint set (start() saves on the
+    # save_interval cadence — the final epoch is always present)
+    save_dir = tmp_path / "save" / "mh"
+    assert str(_EPOCHS - 1) in os.listdir(save_dir)
+
+
+@pytest.mark.slow
 def test_checkpoint_restores_final_state(mh_run):
     tmp_path, cfg_path, results, _ = mh_run
     from shift_gcn_tpu.models.registry import get_model
