@@ -135,25 +135,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from shift_gcn_tpu.models.shift_gcn import BlockSpec, ModelConfig
     from shift_gcn_tpu.train.optim import build_weight_decay_tree
     from shift_gcn_tpu.train.state import create_train_state, make_train_step
 
-    if args.smoke:
-        config = ModelConfig(
-            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
-            blocks=(BlockSpec(3, 8, residual=False), BlockSpec(8, 16, stride=2)),
-            compute_dtype=args.compute_dtype,
-        activation_dtype=args.activation_dtype)
-        batch_size, t = 8, 32
-        steps = 3
-    else:
-        config = ModelConfig(
-            compute_dtype=args.compute_dtype,
-            activation_dtype=args.activation_dtype,
-            **_DATASET_ARGS[args.dataset])
-        batch_size, t = args.batch_size, 300
-        steps = args.steps
+    config, batch_size, t, steps = _bench_model_setup(args)
 
     from shift_gcn_tpu.train.transfer import (resolve_transfer_dtype,
                                               restore_batch_fp32)
@@ -261,6 +246,27 @@ def main() -> None:
     # (VERDICT r4 task 3; previously eval lived only in scratch logs)
     record["eval"] = _eval_record(args)
     print(json.dumps(record))
+
+
+def _bench_model_setup(args):
+    """(config, batch_size, T, steps) shared by the train bench and the
+    nested eval record — ONE definition of the smoke/full shapes so the
+    two halves of the default JSON can never desynchronize."""
+    from shift_gcn_tpu.models.shift_gcn import BlockSpec, ModelConfig
+
+    if args.smoke:
+        config = ModelConfig(
+            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
+            blocks=(BlockSpec(3, 8, residual=False),
+                    BlockSpec(8, 16, stride=2)),
+            compute_dtype=args.compute_dtype,
+            activation_dtype=args.activation_dtype)
+        return config, 8, 32, 3
+    config = ModelConfig(
+        compute_dtype=args.compute_dtype,
+        activation_dtype=args.activation_dtype,
+        **_DATASET_ARGS[args.dataset])
+    return config, args.batch_size, 300, args.steps
 
 
 def _roofline(config, t: int, batch_size: int, step_seconds: float,
@@ -397,23 +403,9 @@ def _eval_record(args):
     import jax
     import jax.numpy as jnp
 
-    from shift_gcn_tpu.models.shift_gcn import (BlockSpec, ModelConfig,
-                                                apply, init_params)
+    from shift_gcn_tpu.models.shift_gcn import apply, init_params
 
-    if args.smoke:
-        config = ModelConfig(
-            num_class=2, num_point=25, num_person=1, graph="ntu_rgb_d",
-            blocks=(BlockSpec(3, 8, residual=False),
-                    BlockSpec(8, 16, stride=2)),
-            compute_dtype=args.compute_dtype,
-            activation_dtype=args.activation_dtype)
-        batch_size, t, steps = 8, 32, 3
-    else:
-        config = ModelConfig(
-            compute_dtype=args.compute_dtype,
-            activation_dtype=args.activation_dtype,
-            **_DATASET_ARGS[args.dataset])
-        batch_size, t, steps = args.batch_size, 300, args.steps
+    config, batch_size, t, steps = _bench_model_setup(args)
     params, state = init_params(jax.random.key(0), config)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(

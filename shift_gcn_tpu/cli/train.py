@@ -31,7 +31,9 @@ def should_init_distributed(env=None) -> bool:
     env = os.environ if env is None else env
     force = env.get("SGT_DISTRIBUTED")
     if force is not None:
-        return force.strip().lower() not in ("0", "false", "no", "")
+        # same boolean spellings as the lowering config parser
+        return force.strip().lower() not in ("0", "false", "no", "off",
+                                             "")
     if env.get("JAX_COORDINATOR_ADDRESS"):
         return True
     for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
@@ -67,6 +69,11 @@ def main(argv=None) -> None:
     if should_init_distributed():
         kwargs = {}
         if os.environ.get("SGT_NUM_PROCESSES"):
+            if "SGT_PROCESS_ID" not in os.environ:
+                raise SystemExit(
+                    "SGT_NUM_PROCESSES is set but SGT_PROCESS_ID is "
+                    "not — a manual multi-host launch needs both (the "
+                    "per-host rank in [0, num_processes))")
             kwargs = {
                 "num_processes": int(os.environ["SGT_NUM_PROCESSES"]),
                 "process_id": int(os.environ["SGT_PROCESS_ID"]),

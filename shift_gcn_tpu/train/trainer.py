@@ -502,15 +502,17 @@ class Trainer:
             need_final_eval = not os.path.exists(best_pkl)
             if jax.process_count() > 1:
                 # work_dir is per-process in multi-host runs; after a kill
-                # during the final eval one process may have written its
-                # pickle while another did not, and evaluate() runs
-                # cross-process collectives — every process must make the
-                # SAME call or the others deadlock.  Process 0 decides.
+                # during the final eval ANY subset of processes may have
+                # written its pickle, and evaluate() runs cross-process
+                # collectives — every process must make the SAME call or
+                # the others deadlock.  OR the per-process views: if any
+                # process is missing its pickle, all re-enter the eval
+                # (the ones that have it just rewrite identical content).
                 from jax.experimental import multihost_utils as mhu
 
-                need_final_eval = bool(np.asarray(
-                    mhu.broadcast_one_to_all(
-                        np.asarray(need_final_eval))))
+                flags = mhu.process_allgather(
+                    np.asarray(need_final_eval))
+                need_final_eval = bool(np.asarray(flags).any())
             if need_final_eval:
                 # resumed-past-the-end runs (auto-resume after a kill
                 # DURING the final eval: the checkpoint exists, so the
@@ -714,9 +716,19 @@ class Trainer:
         accuracy = feeder.top_k(score, 1)
         score_dict = dict(zip(feeder.sample_name, score))
         eval_dir = os.path.join(self.work_dir, "eval_results")
+        best_pkl = os.path.join(eval_dir, "best_acc.pkl")
         if accuracy > self.best_acc:
             self.best_acc = accuracy
-            with open(os.path.join(eval_dir, "best_acc.pkl"), "wb") as f:
+            with open(best_pkl, "wb") as f:
+                pickle.dump(score_dict, f)
+        elif not os.path.exists(best_pkl):
+            # recovery: the historical best pickle is gone (kill during
+            # a final eval, overwrite cleanup) and this eval did not
+            # beat the checkpoint-restored best_acc — the ensemble's
+            # score-pickle contract still must complete, so restore it
+            # with the closest available scores (best_acc itself keeps
+            # the historical value)
+            with open(best_pkl, "wb") as f:
                 pickle.dump(score_dict, f)
         self.logger.log(
             f"\tMean test loss: {loss_sum / max(n_sum, 1):.4f}.")
@@ -783,6 +795,11 @@ class Trainer:
         multihost = self._hosts_shard_data
         f_w = open(wrong_file, "w") if wrong_file else None
         f_r = open(result_file, "w") if result_file else None
+        # Keep per-batch outputs on device until the loop ends (same
+        # rationale + structure as the plain evaluate(): a per-batch
+        # np.asarray/allgather would synchronize and serialize host
+        # batching against device compute).
+        pending_out = []
         try:
             for data, label, index, mask in it.epoch(0):
                 batch = self._put_batch({
@@ -792,6 +809,10 @@ class Trainer:
                 })
                 logits4, ensemble, lsum4, ns = self._eval_step(
                     self.state.params, self.state.bn_state, batch)
+                pending_out.append(
+                    (logits4, ensemble, lsum4, ns, label, index, mask))
+            for logits4, ensemble, lsum4, ns, label, index, mask in \
+                    pending_out:
                 if multihost:
                     from jax.experimental import multihost_utils as mhu
 
@@ -843,8 +864,14 @@ class Trainer:
                 pickle.dump(dict(zip(feeder.sample_name, s)), f)
         self.logger.log(f"\tensemble top1: {100 * accuracy:.2f}%")
         score_dict = dict(zip(feeder.sample_name, ens))
-        if accuracy > self.best_acc:
-            self.best_acc = accuracy
+        improved = accuracy > self.best_acc
+        if improved or not os.path.exists(
+                os.path.join(eval_dir, "best_acc.pkl")):
+            # on improvement, or in recovery when the historical best
+            # pickle is gone (see the same clause in evaluate()) — the
+            # ensemble's score-pickle contract must always complete
+            if improved:
+                self.best_acc = accuracy
             with open(os.path.join(eval_dir, "best_acc.pkl"), "wb") as f:
                 pickle.dump(score_dict, f)
             for stream, s in zip(fs.STREAMS, stream_scores):

@@ -38,3 +38,7 @@ def test_explicit_override_wins():
              "JAX_COORDINATOR_ADDRESS": "10.0.0.1:1"}) is False
     assert should_init_distributed(
         env={"SGT_DISTRIBUTED": "false", "SLURM_NTASKS": "8"}) is False
+    # every false spelling the lowering config parser accepts
+    for spelling in ("off", "no", "False", " 0 "):
+        assert should_init_distributed(
+            env={"SGT_DISTRIBUTED": spelling}) is False, spelling

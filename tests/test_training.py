@@ -88,6 +88,23 @@ def test_loss_decreases_and_eval_writes_scores(trainer):
     assert next(iter(scores.values())).shape == (2,)
 
 
+def test_best_pickle_regenerates_when_missing(trainer):
+    """Recovery contract (code-review r5): when the historical best
+    pickle is gone (kill during the final eval / overwrite cleanup) and
+    the re-run's eval does NOT beat the checkpoint-restored best_acc,
+    evaluate() must still restore the ensemble's score-pickle contract
+    — without lowering the historical best_acc."""
+    trainer.evaluate(0)
+    eval_dir = os.path.join(trainer.work_dir, "eval_results")
+    best = os.path.join(eval_dir, "best_acc.pkl")
+    assert os.path.exists(best)
+    os.remove(best)
+    trainer.best_acc = 2.0     # unbeatable: the improvement branch is off
+    trainer.evaluate(1)
+    assert os.path.exists(best)
+    assert trainer.best_acc == 2.0
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
     import jax
     import numpy as np
