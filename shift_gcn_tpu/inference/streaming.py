@@ -1,0 +1,208 @@
+"""Online (streaming) fall detection with bounded latency.
+
+The reference's inference pipeline is strictly offline: it decodes the
+whole video, builds every sliding window, and only then scores them
+(reference inference_pipeline.py:574-670).  For production serving — a
+live camera / landmark feed where a fall must be flagged within seconds —
+this module extends the SAME per-window semantics to a stream:
+
+- frames are pushed one at a time (`push`) into a bounded buffer of the
+  last `window` frames,
+- every `hop` frames the trailing window is pre-normalized and scored by
+  the same jitted :class:`~shift_gcn_tpu.inference.pipeline.EnsemblePredictor`
+  forward — ONE fixed-shape (1, C, window, V, M) compile serves the whole
+  stream, so steady-state cost is one forward per `hop` frames and the
+  detection latency is bounded by ``hop`` frames plus one forward,
+- threshold crossings are emitted as hysteresis events (``fall_start`` /
+  ``fall_end``) the moment they are known, instead of after the video ends.
+
+Offline parity (tested, tests/test_streaming.py): with ``hop == stride``
+(and ``window % hop == 0``, true of the reference 300/150 defaults)
+the full windows a stream evaluates are exactly the spans
+:func:`~shift_gcn_tpu.inference.pipeline.create_sliding_windows` builds —
+evaluations fire at t = window + k*hop covering [k*hop, k*hop + window),
+and :meth:`finalize` scores the offline tail window (or, for streams
+shorter than one window, the single zero-padded window).  ``finalize``'s
+report therefore equals :func:`run_on_landmarks`' on the same sequence.
+Partial warm-up windows (t < window) are scored for LIVE events — latency
+matters more than windowing purity mid-stream — but excluded from the
+per-frame aggregation so the final report stays offline-exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from shift_gcn_tpu.data.preprocess import pre_normalization
+from shift_gcn_tpu.inference.pipeline import (
+    EnsemblePredictor, aggregate_per_frame, detect_fall_intervals)
+
+
+@dataclasses.dataclass
+class StreamUpdate:
+    """One scored window, emitted from `push` / `finalize`.
+
+    frame_index: index of the newest frame in the scored window (0-based).
+    span: [start, end) frame range the score covers (end == frame_index+1).
+    fall_prob: ensembled fall probability of the window.
+    fall_active: hysteresis state AFTER this update.
+    event: 'fall_start' | 'fall_end' | None — transition at this update.
+    partial: True while the buffer has fewer than `window` frames (the
+        window was zero-padded; excluded from the final report's
+        aggregation, see module docstring).
+    """
+
+    frame_index: int
+    span: Tuple[int, int]
+    fall_prob: float
+    fall_active: bool
+    event: Optional[str]
+    partial: bool
+
+
+class StreamingFallDetector:
+    """Bounded-latency fall detection over a live landmark stream.
+
+    Parameters
+    ----------
+    predictor: a ready :class:`EnsemblePredictor` (any modality subset).
+    window: frames per scored window (model T; reference default 300).
+    hop: frames between evaluations; detection latency is <= hop frames
+        + one forward.  Set ``hop == stride`` of the offline pipeline for
+        report parity with :func:`run_on_landmarks`.
+    threshold: fall probability threshold (reference default 0.5).
+    min_consecutive: evaluations >= threshold required before
+        ``fall_start`` fires (hysteresis against single-window spikes);
+        a single below-threshold evaluation ends the interval.
+    """
+
+    def __init__(
+        self,
+        predictor: EnsemblePredictor,
+        *,
+        window: int = 300,
+        hop: int = 30,
+        threshold: float = 0.5,
+        min_consecutive: int = 1,
+    ):
+        if window <= 0 or hop <= 0:
+            raise ValueError("window and hop must be positive")
+        if min_consecutive < 1:
+            raise ValueError("min_consecutive must be >= 1")
+        self.predictor = predictor
+        self.window = int(window)
+        self.hop = int(hop)
+        self.threshold = float(threshold)
+        self.min_consecutive = int(min_consecutive)
+        c, v, m = 3, predictor.config.num_point, predictor.config.num_person
+        self._frame_shape = (c, v, m)
+        # ring buffer of the last `window` frames, time-major for cheap
+        # ordered reconstruction: (window, C, V, M)
+        self._ring = np.zeros((self.window, c, v, m), np.float32)
+        self._t = 0  # total frames pushed
+        self._last_eval_t = 0  # t at the most recent evaluation
+        # full-window scores + spans for the offline-parity report
+        self._scores: List[float] = []
+        self._spans: List[Tuple[int, int]] = []
+        # hysteresis state
+        self._above_streak = 0
+        self._fall_active = False
+        self._finalized = False
+
+    # -- internals ---------------------------------------------------------
+
+    def _ordered_window(self) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """Trailing window as (C, window, V, M) + its [start, end) span.
+
+        While t < window the tail is zero-padded, matching
+        create_sliding_windows' short-sequence window (pipeline.py:46-58).
+        """
+        t = self._t
+        if t >= self.window:
+            idx = (np.arange(t - self.window, t)) % self.window
+            frames = self._ring[idx]  # (window, C, V, M), oldest first
+            span = (t - self.window, t)
+        else:
+            frames = np.zeros_like(self._ring)
+            frames[:t] = self._ring[:t]
+            span = (0, t)
+        return np.ascontiguousarray(frames.transpose(1, 0, 2, 3)), span
+
+    def _evaluate(self) -> StreamUpdate:
+        data, span = self._ordered_window()
+        batch = pre_normalization(
+            data[None].copy(),
+            zaxis=self.predictor.graph.zaxis,
+            xaxis=self.predictor.graph.xaxis,
+            center_joint=list(self.predictor.graph.center_joint))
+        prob = float(self.predictor.predict(batch)[0, 1])
+        partial = self._t < self.window
+        if not partial:
+            self._scores.append(prob)
+            self._spans.append(span)
+        event = None
+        if prob >= self.threshold:
+            self._above_streak += 1
+            if (not self._fall_active
+                    and self._above_streak >= self.min_consecutive):
+                self._fall_active = True
+                event = "fall_start"
+        else:
+            self._above_streak = 0
+            if self._fall_active:
+                self._fall_active = False
+                event = "fall_end"
+        self._last_eval_t = self._t
+        return StreamUpdate(
+            frame_index=self._t - 1, span=span, fall_prob=prob,
+            fall_active=self._fall_active, event=event, partial=partial)
+
+    # -- public API --------------------------------------------------------
+
+    def push(self, frame: np.ndarray) -> Optional[StreamUpdate]:
+        """Ingest one landmark frame (C, V, M); returns a StreamUpdate when
+        an evaluation was due (every `hop` frames), else None."""
+        if self._finalized:
+            raise RuntimeError("detector already finalized")
+        frame = np.asarray(frame, np.float32)
+        if frame.shape != self._frame_shape:
+            raise ValueError(
+                f"frame shape {frame.shape} != {self._frame_shape}")
+        self._ring[self._t % self.window] = frame
+        self._t += 1
+        if self._t % self.hop == 0:
+            return self._evaluate()
+        return None
+
+    def finalize(self) -> Dict:
+        """End of stream: score the tail window if frames arrived since the
+        last evaluation (the offline pipeline's trailing window,
+        pipeline.py:49-50), then return a report with the same keys and —
+        at hop == stride — the same values as :func:`run_on_landmarks`."""
+        if self._finalized:
+            raise RuntimeError("detector already finalized")
+        self._finalized = True
+        t = self._t
+        if 0 < t < self.window:
+            # the whole stream fits one padded window: this IS the offline
+            # single window (pipeline.py:47-48) — record it despite partial
+            upd = self._evaluate()
+            self._scores.append(upd.fall_prob)
+            self._spans.append(upd.span)
+        elif t >= self.window and (not self._spans
+                                   or self._spans[-1][1] < t):
+            self._evaluate()
+        frame_probs = aggregate_per_frame(
+            np.asarray(self._scores, np.float64), self._spans, t)
+        intervals = detect_fall_intervals(frame_probs, self.threshold)
+        return {
+            "total_frames": int(t),
+            "num_windows": int(len(self._spans)),
+            "fall_detected": bool(intervals),
+            "max_fall_probability": float(frame_probs.max()) if t else 0.0,
+            "fall_intervals": [dataclasses.asdict(iv) for iv in intervals],
+            "frame_probabilities": frame_probs.tolist(),
+        }
