@@ -222,6 +222,28 @@ class EnsemblePredictor:
         return np.asarray(self._forward(self._models, batch))
 
 
+def build_report(
+    window_scores: np.ndarray, spans: Sequence[Tuple[int, int]],
+    total_frames: int, threshold: float
+) -> Dict:
+    """Window fall-scores + spans -> the report dict (reference:
+    inference_pipeline.py:638-652).  Shared by the offline path below and
+    the streaming detector's finalize() — the two reports must stay
+    key-for-key identical (tested, tests/test_streaming.py parity)."""
+    frame_probs = aggregate_per_frame(
+        np.asarray(window_scores, np.float64), spans, total_frames)
+    intervals = detect_fall_intervals(frame_probs, threshold)
+    return {
+        "total_frames": int(total_frames),
+        "num_windows": int(len(spans)),
+        "fall_detected": bool(intervals),
+        "max_fall_probability": float(frame_probs.max())
+        if total_frames else 0.0,
+        "fall_intervals": [dataclasses.asdict(iv) for iv in intervals],
+        "frame_probabilities": frame_probs.tolist(),
+    }
+
+
 def run_on_landmarks(
     landmarks: np.ndarray,
     predictor: EnsemblePredictor,
@@ -238,18 +260,7 @@ def run_on_landmarks(
         zaxis=predictor.graph.zaxis, xaxis=predictor.graph.xaxis,
         center_joint=list(predictor.graph.center_joint))
     probs = predictor.predict(batch)
-    fall_probs = probs[:, 1]
-    frame_probs = aggregate_per_frame(fall_probs, spans, total_frames)
-    intervals = detect_fall_intervals(frame_probs, threshold)
-    return {
-        "total_frames": int(total_frames),
-        "num_windows": int(len(spans)),
-        "fall_detected": bool(intervals),
-        "max_fall_probability": float(frame_probs.max())
-        if total_frames else 0.0,
-        "fall_intervals": [dataclasses.asdict(iv) for iv in intervals],
-        "frame_probabilities": frame_probs.tolist(),
-    }
+    return build_report(probs[:, 1], spans, total_frames, threshold)
 
 
 def auto_detect_checkpoints(save_dir: str) -> Dict[str, str]:

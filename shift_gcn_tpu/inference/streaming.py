@@ -23,7 +23,8 @@ the full windows a stream evaluates are exactly the spans
 evaluations fire at t = window + k*hop covering [k*hop, k*hop + window),
 and :meth:`finalize` scores the offline tail window (or, for streams
 shorter than one window, the single zero-padded window).  ``finalize``'s
-report therefore equals :func:`run_on_landmarks`' on the same sequence.
+report therefore equals :func:`run_on_landmarks`' on the same sequence
+(plus one streaming-only key, ``final_updates`` — see :meth:`finalize`).
 Partial warm-up windows (t < window) are scored for LIVE events — latency
 matters more than windowing purity mid-stream — but excluded from the
 per-frame aggregation so the final report stays offline-exact.
@@ -38,7 +39,7 @@ import numpy as np
 
 from shift_gcn_tpu.data.preprocess import pre_normalization
 from shift_gcn_tpu.inference.pipeline import (
-    EnsemblePredictor, aggregate_per_frame, detect_fall_intervals)
+    EnsemblePredictor, build_report)
 
 
 @dataclasses.dataclass
@@ -90,6 +91,13 @@ class StreamingFallDetector:
     ):
         if window <= 0 or hop <= 0:
             raise ValueError("window and hop must be positive")
+        if window % hop != 0:
+            # without this, the first recorded full window starts at
+            # (window % hop) and frames before it would silently report
+            # probability 0.0 — unacceptable in a safety detector
+            raise ValueError(
+                f"window ({window}) must be a multiple of hop ({hop}) so "
+                "full windows tile the stream from frame 0")
         if min_consecutive < 1:
             raise ValueError("min_consecutive must be >= 1")
         self.predictor = predictor
@@ -104,6 +112,7 @@ class StreamingFallDetector:
         self._ring = np.zeros((self.window, c, v, m), np.float32)
         self._t = 0  # total frames pushed
         self._last_eval_t = 0  # t at the most recent evaluation
+        self._last_update: Optional[StreamUpdate] = None
         # full-window scores + spans for the offline-parity report
         self._scores: List[float] = []
         self._spans: List[Tuple[int, int]] = []
@@ -133,8 +142,10 @@ class StreamingFallDetector:
 
     def _evaluate(self) -> StreamUpdate:
         data, span = self._ordered_window()
+        # _ordered_window returns a fresh buffer either way, so the
+        # in-place pre_normalization can mutate it directly (no copy)
         batch = pre_normalization(
-            data[None].copy(),
+            data[None],
             zaxis=self.predictor.graph.zaxis,
             xaxis=self.predictor.graph.xaxis,
             center_joint=list(self.predictor.graph.center_joint))
@@ -156,9 +167,10 @@ class StreamingFallDetector:
                 self._fall_active = False
                 event = "fall_end"
         self._last_eval_t = self._t
-        return StreamUpdate(
+        self._last_update = StreamUpdate(
             frame_index=self._t - 1, span=span, fall_prob=prob,
             fall_active=self._fall_active, event=event, partial=partial)
+        return self._last_update
 
     # -- public API --------------------------------------------------------
 
@@ -180,29 +192,43 @@ class StreamingFallDetector:
     def finalize(self) -> Dict:
         """End of stream: score the tail window if frames arrived since the
         last evaluation (the offline pipeline's trailing window,
-        pipeline.py:49-50), then return a report with the same keys and —
-        at hop == stride — the same values as :func:`run_on_landmarks`."""
+        pipeline.py:49-50), then return :func:`run_on_landmarks`' report —
+        same keys, and at hop == stride the same values — plus one extra
+        key ``"final_updates"``: the tail evaluation's
+        :class:`StreamUpdate` (if one ran) and, when a fall interval is
+        still open at stream end, a closing ``fall_end`` update — both as
+        dicts, so events first detectable only at finalize time are not
+        lost (check ``u["event"]`` the way push() consumers check
+        ``update.event``)."""
         if self._finalized:
             raise RuntimeError("detector already finalized")
         self._finalized = True
         t = self._t
+        final_updates: List[StreamUpdate] = []
         if 0 < t < self.window:
             # the whole stream fits one padded window: this IS the offline
             # single window (pipeline.py:47-48) — record it despite partial
-            upd = self._evaluate()
+            if self._last_eval_t == t:
+                # the last push() already scored this exact buffer (t is a
+                # hop multiple): reuse it — no duplicate forward, no double
+                # hysteresis count; its event was already delivered there
+                upd = self._last_update
+            else:
+                upd = self._evaluate()
+                final_updates.append(upd)
             self._scores.append(upd.fall_prob)
             self._spans.append(upd.span)
         elif t >= self.window and (not self._spans
                                    or self._spans[-1][1] < t):
-            self._evaluate()
-        frame_probs = aggregate_per_frame(
-            np.asarray(self._scores, np.float64), self._spans, t)
-        intervals = detect_fall_intervals(frame_probs, self.threshold)
-        return {
-            "total_frames": int(t),
-            "num_windows": int(len(self._spans)),
-            "fall_detected": bool(intervals),
-            "max_fall_probability": float(frame_probs.max()) if t else 0.0,
-            "fall_intervals": [dataclasses.asdict(iv) for iv in intervals],
-            "frame_probabilities": frame_probs.tolist(),
-        }
+            final_updates.append(self._evaluate())
+        if self._fall_active:
+            # the stream ended mid-interval: close it so event accounting
+            # stays symmetric (every fall_start gets a fall_end)
+            self._fall_active = False
+            last = self._last_update
+            final_updates.append(dataclasses.replace(
+                last, fall_active=False, event="fall_end"))
+        report = build_report(self._scores, self._spans, t, self.threshold)
+        report["final_updates"] = [
+            dataclasses.asdict(u) for u in final_updates]
+        return report

@@ -141,6 +141,48 @@ def test_immediate_start_with_min_consecutive_one():
     assert events == ["fall_start", None, "fall_end"]
 
 
+def test_finalize_surfaces_tail_and_closing_events():
+    """A fall first crossing threshold in the tail window (scored only
+    inside finalize) must still emit fall_start — and a fall open at
+    stream end must get a closing fall_end — via report['final_updates']."""
+    # evals: push at t=32 (partial, 0.1), t=64 (full, 0.1); finalize tail
+    # [16, 80) scores 0.9 -> fall_start, then stream-end fall_end
+    det = StreamingFallDetector(
+        _ScriptedPredictor([0.1, 0.1, 0.9]), window=WINDOW, hop=HOP)
+    for i in range(80):
+        upd = det.push(np.zeros((3, 33, 1), np.float32))
+        assert upd is None or upd.event is None
+    report = det.finalize()
+    events = [u["event"] for u in report["final_updates"]]
+    assert events == ["fall_start", "fall_end"]
+    assert report["final_updates"][0]["span"] == (16, 80)
+    assert report["final_updates"][1]["fall_active"] is False
+    # tail window recorded: offline spans for t=80 are (0,64) + (16,80)
+    assert report["num_windows"] == 2
+
+
+def test_finalize_reuses_last_partial_eval():
+    """Stream length a hop multiple below one window: the last push
+    already scored the exact padded buffer — finalize must reuse it (no
+    duplicate forward, no double hysteresis count)."""
+    pred = _ScriptedPredictor([0.8])
+    det = StreamingFallDetector(pred, window=WINDOW, hop=HOP,
+                                min_consecutive=1)
+    events = []
+    for i in range(HOP):
+        upd = det.push(np.zeros((3, 33, 1), np.float32))
+        if upd is not None:
+            events.append(upd.event)
+    report = det.finalize()
+    assert pred.calls == 1  # no second forward in finalize
+    assert events == ["fall_start"]  # delivered at push time...
+    # ...so finalize adds only the stream-end closure, and the reused
+    # score becomes the offline single padded window
+    assert [u["event"] for u in report["final_updates"]] == ["fall_end"]
+    assert report["num_windows"] == 1
+    assert report["frame_probabilities"] == [0.8] * HOP
+
+
 def test_api_guards():
     det = StreamingFallDetector(
         _ScriptedPredictor([0.1] * 8), window=WINDOW, hop=HOP)
@@ -158,8 +200,15 @@ def test_api_guards():
         StreamingFallDetector(_ScriptedPredictor([]), window=0)
     with pytest.raises(ValueError):
         StreamingFallDetector(_ScriptedPredictor([]), min_consecutive=0)
+    # window must tile into hops, else leading frames would silently
+    # aggregate to probability 0.0
+    with pytest.raises(ValueError):
+        StreamingFallDetector(_ScriptedPredictor([]), window=64, hop=48)
+    with pytest.raises(ValueError):
+        StreamingFallDetector(_ScriptedPredictor([]), window=64, hop=100)
     # empty stream: clean empty report, no evaluation
-    empty = StreamingFallDetector(_ScriptedPredictor([]), window=WINDOW)
+    empty = StreamingFallDetector(_ScriptedPredictor([]), window=WINDOW,
+                                  hop=HOP)
     rep = empty.finalize()
     assert rep["total_frames"] == 0 and rep["num_windows"] == 0
     assert rep["fall_detected"] is False
