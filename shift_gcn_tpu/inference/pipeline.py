@@ -388,11 +388,9 @@ def run_pipeline(
     return report
 
 
-def main(argv=None):
-    import argparse
-
-    parser = argparse.ArgumentParser(description="fall-detection inference")
-    parser.add_argument("--video", required=True)
+def add_checkpoint_args(parser) -> None:
+    """Install the model-selection CLI args shared by the offline
+    pipeline and the streaming CLI (streaming.py)."""
     parser.add_argument("--joint", default=None)
     parser.add_argument("--bone", default=None)
     parser.add_argument("--joint-motion", default=None)
@@ -404,6 +402,35 @@ def main(argv=None):
                         help="auto-detect per-modality checkpoints under "
                         "this save-models root (reference "
                         "inference_pipeline.py:28-38)")
+
+
+def resolve_checkpoint_args(parser, args) -> Optional[Dict[str, str]]:
+    """args from :func:`add_checkpoint_args` -> per-modality checkpoint
+    dict, or None when --fourstream was given (the caller then uses
+    ``args.fourstream``).  parser.error()s on an unusable combination."""
+    if args.fourstream is not None:
+        return None
+    if args.save_dir:
+        ckpts = auto_detect_checkpoints(args.save_dir)
+        if not ckpts:
+            parser.error(f"no checkpoints found under {args.save_dir}")
+        return ckpts
+    if args.joint is None:
+        parser.error("--joint (or --fourstream / --save-dir) is required")
+    ckpts = {"joint": args.joint}
+    for key in ("bone", "joint_motion", "bone_motion"):
+        val = getattr(args, key)
+        if val:
+            ckpts[key] = val
+    return ckpts
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="fall-detection inference")
+    parser.add_argument("--video", required=True)
+    add_checkpoint_args(parser)
     parser.add_argument("--output", default="results.json")
     parser.add_argument("--output-video", default=None,
                         help="write an annotated mp4 here")
@@ -411,21 +438,7 @@ def main(argv=None):
     parser.add_argument("--window", type=int, default=300)
     parser.add_argument("--stride", type=int, default=150)
     args = parser.parse_args(argv)
-    ckpts = None
-    if args.fourstream is None:
-        if args.save_dir:
-            ckpts = auto_detect_checkpoints(args.save_dir)
-            if not ckpts:
-                parser.error(f"no checkpoints found under {args.save_dir}")
-        else:
-            if args.joint is None:
-                parser.error(
-                    "--joint (or --fourstream / --save-dir) is required")
-            ckpts = {"joint": args.joint}
-            for key in ("bone", "joint_motion", "bone_motion"):
-                val = getattr(args, key)
-                if val:
-                    ckpts[key] = val
+    ckpts = resolve_checkpoint_args(parser, args)
     report = run_pipeline(
         args.video, ckpts, fourstream_checkpoint=args.fourstream,
         output_json=args.output, output_video=args.output_video,

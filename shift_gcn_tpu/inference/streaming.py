@@ -232,3 +232,116 @@ class StreamingFallDetector:
         report["final_updates"] = [
             dataclasses.asdict(u) for u in final_updates]
         return report
+
+
+def run_stream(
+    landmarks: np.ndarray,
+    predictor: EnsemblePredictor,
+    *,
+    window: int = 300,
+    hop: int = 30,
+    threshold: float = 0.5,
+    min_consecutive: int = 1,
+    on_update=None,
+) -> Tuple[Dict, List[StreamUpdate]]:
+    """Replay a recorded (C, T, V, M) landmark array through the online
+    detector as if it arrived live.  ``on_update`` (optional callable) is
+    invoked with each push-time :class:`StreamUpdate` the moment it is
+    produced — the live-alerting hook; finalize-time events land in the
+    returned report's ``final_updates``.  Returns (report, updates)."""
+    det = StreamingFallDetector(
+        predictor, window=window, hop=hop, threshold=threshold,
+        min_consecutive=min_consecutive)
+    updates: List[StreamUpdate] = []
+    for i in range(landmarks.shape[1]):
+        upd = det.push(landmarks[:, i])
+        if upd is not None:
+            updates.append(upd)
+            if on_update is not None:
+                on_update(upd)
+    return det.finalize(), updates
+
+
+def main(argv=None):
+    """CLI: replay a landmark file (or a video, extracted first through
+    the pose backend) as a live stream, print fall events as they fire,
+    write the final report JSON."""
+    import argparse
+    import json
+
+    import yaml
+
+    from shift_gcn_tpu.inference.pipeline import (
+        add_checkpoint_args, resolve_checkpoint_args)
+    from shift_gcn_tpu.models.shift_gcn import config_from_reference_args
+
+    parser = argparse.ArgumentParser(
+        description="online (streaming) fall detection over a recorded "
+        "landmark stream")
+    parser.add_argument("--landmarks", default=None,
+                        help=".npy (3, T, V, M) landmark array to replay")
+    parser.add_argument("--video", default=None,
+                        help="extract landmarks from this video first "
+                        "(pose backend), then replay them as a stream")
+    parser.add_argument("--pose-backend", default="mediapipe")
+    add_checkpoint_args(parser)
+    parser.add_argument("--model-args", default="{}",
+                        help="YAML dict of model args (must match "
+                        "training); default is the full-size MediaPipe "
+                        "fall model")
+    parser.add_argument("--window", type=int, default=300)
+    parser.add_argument("--hop", type=int, default=30)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--min-consecutive", type=int, default=1)
+    parser.add_argument("--output", default="stream_results.json")
+    args = parser.parse_args(argv)
+
+    if (args.landmarks is None) == (args.video is None):
+        parser.error("pass exactly one of --landmarks / --video")
+    if args.landmarks is not None:
+        landmarks = np.load(args.landmarks).astype(np.float32)
+    else:
+        from shift_gcn_tpu.data.gendata.mediapipe import (
+            get_backend, world_landmarks)
+
+        result = get_backend(args.pose_backend)(args.video, 100000)
+        landmarks = world_landmarks(result)
+        if landmarks is None:
+            raise RuntimeError(f"no pose extracted from {args.video}")
+
+    model_args = yaml.safe_load(args.model_args) or {}
+    model_args.setdefault("num_class", 2)
+    model_args.setdefault("num_point", 33)
+    model_args.setdefault("num_person", 1)
+    model_args.setdefault("graph", "mediapipe_pose")
+    cfg = config_from_reference_args(model_args)
+    ckpts = resolve_checkpoint_args(parser, args)
+    if args.fourstream is not None:
+        predictor = EnsemblePredictor.from_fourstream_checkpoint(
+            args.fourstream, model_config=cfg)
+    else:
+        predictor = EnsemblePredictor(ckpts, model_config=cfg)
+
+    def emit(upd: StreamUpdate) -> None:
+        if upd.event:
+            print(json.dumps({"event": upd.event,
+                              "frame": upd.frame_index,
+                              "prob": round(upd.fall_prob, 4)}), flush=True)
+
+    report, _ = run_stream(
+        landmarks, predictor, window=args.window, hop=args.hop,
+        threshold=args.threshold, min_consecutive=args.min_consecutive,
+        on_update=emit)
+    for u in report["final_updates"]:
+        if u["event"]:
+            print(json.dumps({"event": u["event"], "frame": u["frame_index"],
+                              "prob": round(u["fall_prob"], 4),
+                              "at": "finalize"}), flush=True)
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("frame_probabilities",)}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

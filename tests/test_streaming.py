@@ -16,14 +16,14 @@ from shift_gcn_tpu.graphs import get_graph
 from shift_gcn_tpu.inference.pipeline import (
     EnsemblePredictor, run_on_landmarks)
 from shift_gcn_tpu.inference.streaming import (
-    StreamingFallDetector, StreamUpdate)
+    StreamingFallDetector, StreamUpdate, run_stream)
 from shift_gcn_tpu.models.shift_gcn import BlockSpec, ModelConfig
 
 WINDOW, HOP = 64, 32
 
 
 @pytest.fixture(scope="module")
-def predictor(tmp_path_factory):
+def ckpt_and_cfg(tmp_path_factory):
     from shift_gcn_tpu.train.state import create_train_state
     from shift_gcn_tpu.utils import checkpoint as ckpt_lib
 
@@ -38,16 +38,13 @@ def predictor(tmp_path_factory):
         "opt_state": state.opt_state, "global_step": state.global_step,
         "meta": {"epoch": 0, "best_acc": 0.0},
     })
+    return cfg, path
+
+
+@pytest.fixture(scope="module")
+def predictor(ckpt_and_cfg):
+    cfg, path = ckpt_and_cfg
     return EnsemblePredictor({"joint": path}, model_config=cfg)
-
-
-def _stream(detector, landmarks):
-    updates = []
-    for i in range(landmarks.shape[1]):
-        upd = detector.push(landmarks[:, i])
-        if upd is not None:
-            updates.append(upd)
-    return updates, detector.finalize()
 
 
 @pytest.mark.parametrize("t", [40, 192, 250])
@@ -59,9 +56,8 @@ def test_offline_parity(predictor, t):
     landmarks = rng.standard_normal((3, t, 33, 1)).astype(np.float32)
     offline = run_on_landmarks(
         landmarks, predictor, window=WINDOW, stride=HOP, threshold=0.5)
-    det = StreamingFallDetector(
-        predictor, window=WINDOW, hop=HOP, threshold=0.5)
-    _, online = _stream(det, landmarks)
+    online, _ = run_stream(
+        landmarks, predictor, window=WINDOW, hop=HOP, threshold=0.5)
     assert online["total_frames"] == offline["total_frames"] == t
     assert online["num_windows"] == offline["num_windows"]
     np.testing.assert_allclose(
@@ -80,8 +76,10 @@ def test_update_cadence_and_spans(predictor):
     partial and excluded from the report's window count."""
     rng = np.random.default_rng(0)
     landmarks = rng.standard_normal((3, 128, 33, 1)).astype(np.float32)
-    det = StreamingFallDetector(predictor, window=WINDOW, hop=HOP)
-    updates, report = _stream(det, landmarks)
+    seen = []
+    report, updates = run_stream(landmarks, predictor, window=WINDOW,
+                                 hop=HOP, on_update=seen.append)
+    assert seen == updates  # the live hook fires for every update
     assert [u.frame_index for u in updates] == [31, 63, 95, 127]
     assert [u.partial for u in updates] == [True, False, False, False]
     assert [u.span for u in updates] == [
@@ -89,6 +87,34 @@ def test_update_cadence_and_spans(predictor):
     # only the 3 full windows aggregate (offline spans for t=128)
     assert report["num_windows"] == 3
     assert all(isinstance(u, StreamUpdate) for u in updates)
+
+
+def test_cli_streams_landmark_file(ckpt_and_cfg, tmp_path, capsys):
+    """End-to-end CLI: replay a saved .npy landmark array, write the
+    report JSON; --model-args selects the (tiny) trained architecture."""
+    import json
+
+    from shift_gcn_tpu.inference import streaming
+
+    cfg, path = ckpt_and_cfg
+    rng = np.random.default_rng(7)
+    lm_file = tmp_path / "lm.npy"
+    np.save(lm_file, rng.standard_normal((3, 96, 33, 1)).astype(np.float32))
+    out = tmp_path / "report.json"
+    streaming.main([
+        "--landmarks", str(lm_file), "--joint", path,
+        "--model-args",
+        "{num_class: 2, num_point: 33, num_person: 1, "
+        "graph: mediapipe_pose, blocks: [[3, 8, 1, false], [8, 8, 2]]}",
+        "--window", str(WINDOW), "--hop", str(HOP),
+        "--output", str(out)])
+    report = json.loads(out.read_text())
+    assert report["total_frames"] == 96
+    # offline spans for t=96 at 64/32: (0,64) + (32,96)
+    assert report["num_windows"] == 2
+    assert len(report["frame_probabilities"]) == 96
+    summary = capsys.readouterr().out
+    assert '"total_frames": 96' in summary
 
 
 class _ScriptedPredictor:
